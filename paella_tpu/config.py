@@ -1,0 +1,138 @@
+"""Configuration dataclasses.
+
+The reference has no config system — hyperparameters are module-level globals edited
+in-source (reference: src/train.py:10-22, src_distributed/train.py:14-30) and model
+knobs live in constructor defaults (src/modules.py:110-112). Here the same knob set
+is exposed as frozen (hashable, jit-static-friendly) dataclasses.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class PaellaConfig:
+    """Denoiser hyperparameters (reference: src/modules.py:110-112 defaults)."""
+
+    c_in: int = 256
+    c_out: int = 256
+    num_labels: int = 8192
+    c_r: int = 64
+    patch_size: int = 2
+    c_cond: int = 1024
+    c_hidden: Tuple[int, ...] = (640, 1280, 1280)
+    nhead: Tuple[int, ...] = (-1, 16, 16)
+    blocks: Tuple[int, ...] = (6, 16, 6)
+    level_config: Tuple[str, ...] = ("CT", "CTA", "CTA")
+    clip_embd: int = 1024
+    byt5_embd: int = 1536
+    clip_seq_len: int = 4
+    kernel_size: int = 3
+    dropout: Tuple[float, ...] = (0.1, 0.1, 0.1)
+    self_attn: bool = True
+    dtype: str = "float32"  # compute dtype; params are always float32
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    @classmethod
+    def v1_byt5_xl(cls) -> "PaellaConfig":
+        """Config trained by the distributed reference trainer
+        (reference: src_distributed/train.py:48, byt5_embd=2560 for ByT5-XL)."""
+        return cls(byt5_embd=2560)
+
+    @classmethod
+    def tiny(cls) -> "PaellaConfig":
+        """Small config for tests and dry runs."""
+        return cls(
+            c_in=16,
+            c_out=16,
+            num_labels=128,
+            c_r=16,
+            c_cond=32,
+            c_hidden=(32, 64, 64),
+            nhead=(-1, 4, 4),
+            blocks=(1, 2, 1),
+            byt5_embd=24,
+            clip_embd=32,
+            dropout=(0.0, 0.0, 0.0),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class VQConfig:
+    """f4 codec hyperparameters (reference: src/vqgan.py:46-47)."""
+
+    levels: int = 2
+    bottleneck_blocks: int = 12
+    c_hidden: int = 384
+    c_latent: int = 4
+    codebook_size: int = 8192
+    scale_factor: float = 0.3764
+    dtype: str = "float32"
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    @property
+    def downscale(self) -> int:
+        """Total spatial downsampling: PixelUnshuffle(2) x stride-2 per extra level."""
+        return 2 * (2 ** (self.levels - 1))
+
+    @classmethod
+    def tiny(cls) -> "VQConfig":
+        return cls(bottleneck_blocks=2, c_hidden=32, codebook_size=128)
+
+
+@dataclasses.dataclass(frozen=True)
+class SampleConfig:
+    """Sampler schedule (reference: src_distributed/utils.py:97 signature).
+
+    renoise_steps / sampling_conditional_steps of None mean steps-1 / steps, as in
+    the reference (src_distributed/utils.py:99-102).
+    """
+
+    steps: int = 12
+    renoise_steps: Optional[int] = None
+    temperature: Tuple[float, float] = (0.7, 0.3)
+    cfg: Optional[Tuple[float, float]] = (8.0, 8.0)
+    t_start: float = 1.0
+    t_end: float = 0.0
+    sampling_conditional_steps: Optional[int] = None
+
+    def resolved(self) -> "SampleConfig":
+        return dataclasses.replace(
+            self,
+            renoise_steps=self.steps - 1 if self.renoise_steps is None else self.renoise_steps,
+            sampling_conditional_steps=(
+                self.steps
+                if self.sampling_conditional_steps is None
+                else self.sampling_conditional_steps
+            ),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training hyperparameters (reference: src_distributed/train.py:14-30)."""
+
+    updates: int = 1_500_000
+    warmup_updates: int = 10_000
+    batch_size: int = 2048
+    grad_accum_steps: int = 1
+    lr: float = 1e-4
+    grad_clip: float = 1.0
+    label_smoothing: float = 0.1
+    loss_weight_min: float = 0.3  # reference: src_distributed/modules.py:283 min_val
+    # conditioning dropout probabilities (reference: src_distributed/train.py:79-97)
+    byt5_drop_prob: float = 0.05
+    clip_text_drop_prob: float = 0.9
+    clip_image_drop_prob: float = 0.9
+    t_min: float = 0.001  # reference: src_distributed/train.py:99 clamp
+    checkpoint_every: int = 2000
+    seed: int = 0

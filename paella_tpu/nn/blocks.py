@@ -1,0 +1,302 @@
+"""Denoiser building blocks (NHWC, channels-last).
+
+Re-designs of the reference blocks (reference: src/modules.py:7-106) for TPU:
+- NHWC layout end-to-end: the reference's permute-wrapped LayerNorms
+  (src/modules.py:22-27, 60-61) become plain last-axis ops.
+- "1x1 conv" degenerates to Dense on NHWC; XLA lowers both to the same MXU matmul.
+- All LayerNorms in the reference are affine-free, so they are pure functions here.
+
+Initialization replicates the reference scheme exactly (src/modules.py:189-210):
+xavier-uniform for conv/linear with zero bias, special-cased layers take explicit
+kernel_init arguments at the model level.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from . import init as tinit
+from .attention import MultiheadAttention
+from .functional import gelu, layer_norm, silu
+
+Array = jax.Array
+
+
+class GlobalResponseNorm(nn.Module):
+    """ConvNeXt-V2 GRN (reference: src/modules.py:30-40).
+
+    gamma/beta are stored as (dim,); the torch checkpoint shape (1,1,1,dim) is
+    squeezed by the converter.
+    """
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        gamma = self.param("gamma", tinit.zeros, (self.dim,))
+        beta = self.param("beta", tinit.zeros, (self.dim,))
+        x32 = x.astype(jnp.float32)
+        gx = jnp.sqrt(jnp.sum(x32 * x32, axis=(1, 2), keepdims=True))
+        nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + 1e-6)
+        out = gamma * (x32 * nx) + beta + x32
+        return out.astype(x.dtype)
+
+
+class ChannelwiseMLP(nn.Module):
+    """The c -> 4c -> c MLP shared by ResBlock and FeedForwardBlock
+    (reference: src/modules.py:48-54, 86-92). `out_init_scale` reproduces the
+    sqrt(1/sum(blocks)) rescale of the final kernel (src/modules.py:199-202)."""
+
+    c: int
+    dropout: float = 0.0
+    out_init_scale: float = 1.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        x = nn.Dense(
+            self.c * 4,
+            dtype=self.dtype,
+            kernel_init=tinit.xavier_uniform(),
+            bias_init=tinit.zeros,
+            name="fc1",
+        )(x)
+        x = gelu(x)
+        x = GlobalResponseNorm(self.c * 4, dtype=self.dtype, name="grn")(x)
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        x = nn.Dense(
+            self.c,
+            dtype=self.dtype,
+            kernel_init=tinit.scaled(tinit.xavier_uniform(), self.out_init_scale),
+            bias_init=tinit.zeros,
+            name="fc2",
+        )(x)
+        return x
+
+
+class ResBlock(nn.Module):
+    """Depthwise conv + channelwise MLP residual block (reference: src/modules.py:43-62).
+
+    When a skip tensor is given it is channel-concatenated BEFORE the depthwise
+    conv, whose feature_group_count=c splits the (c + c_skip) input channels into
+    c contiguous groups — identical semantics to torch's grouped Conv2d, which the
+    converted checkpoints rely on.
+    """
+
+    c: int
+    c_skip: int = 0
+    kernel_size: int = 3
+    dropout: float = 0.0
+    out_init_scale: float = 1.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, x_skip: Optional[Array] = None, deterministic: bool = True) -> Array:
+        x_res = x
+        if x_skip is not None:
+            x = jnp.concatenate([x, x_skip.astype(x.dtype)], axis=-1)
+        p = self.kernel_size // 2
+        x = nn.Conv(
+            self.c,
+            (self.kernel_size, self.kernel_size),
+            padding=[(p, p), (p, p)],
+            feature_group_count=self.c,
+            dtype=self.dtype,
+            kernel_init=tinit.xavier_uniform(),
+            bias_init=tinit.zeros,
+            name="depthwise",
+        )(x)
+        x = layer_norm(x)
+        x = ChannelwiseMLP(
+            self.c,
+            dropout=self.dropout,
+            out_init_scale=self.out_init_scale,
+            dtype=self.dtype,
+            name="channelwise",
+        )(x, deterministic=deterministic)
+        return x + x_res
+
+
+class FeedForwardBlock(nn.Module):
+    """LN + channelwise MLP residual (reference: src/modules.py:82-96)."""
+
+    c: int
+    dropout: float = 0.0
+    out_init_scale: float = 1.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        h = layer_norm(x)
+        h = ChannelwiseMLP(
+            self.c,
+            dropout=self.dropout,
+            out_init_scale=self.out_init_scale,
+            dtype=self.dtype,
+            name="channelwise",
+        )(h, deterministic=deterministic)
+        return x + h
+
+
+class AttnBlock(nn.Module):
+    """Joint self+cross attention over the spatial map (reference: src/modules.py:65-79).
+
+    With self_attn=True the (normed) pixel tokens are concatenated in front of the
+    mapped conditioning tokens and a single attention call performs self- and
+    cross-attention jointly (reference: src/modules.py:15-17).
+
+    cond_mask (B, S_cond) masks padded/absent conditioning tokens — this is how a
+    CFG cond/uncond pair with different conditioning sets runs as one batch.
+    cond_reweight multiplies post-softmax attention toward chosen conditioning
+    tokens (the structural-editing hook, reference: utils/alter_attention.py:23-34).
+    """
+
+    c: int
+    c_cond: int
+    nhead: int
+    self_attn: bool = True
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        cond: Array,
+        cond_mask: Optional[Array] = None,
+        cond_reweight: Optional[Array] = None,
+        deterministic: bool = True,
+    ) -> Array:
+        b, h, w, c = x.shape
+        kv = nn.Dense(
+            self.c,
+            dtype=self.dtype,
+            kernel_init=tinit.xavier_uniform(),
+            bias_init=tinit.zeros,
+            name="kv_mapper",
+        )(silu(cond))
+
+        tokens = layer_norm(x).reshape(b, h * w, c)
+        n_pix = h * w
+        if self.self_attn:
+            kv_full = jnp.concatenate([tokens, kv], axis=1)
+            kv_mask = None
+            if cond_mask is not None:
+                pix_mask = jnp.ones((b, n_pix), dtype=bool)
+                kv_mask = jnp.concatenate([pix_mask, cond_mask], axis=1)
+        else:
+            kv_full = kv
+            kv_mask = cond_mask
+
+        reweight = None
+        if cond_reweight is not None:
+            cw = jnp.broadcast_to(cond_reweight, (b, kv.shape[1]))
+            pix_w = jnp.ones((b, n_pix if self.self_attn else 0), dtype=cw.dtype)
+            reweight = jnp.concatenate([pix_w, cw], axis=-1)[:, None, None, :]
+
+        attn_out = MultiheadAttention(
+            self.c, self.nhead, dropout=self.dropout, dtype=self.dtype, name="attention"
+        )(tokens, kv_full, kv_mask=kv_mask, reweight=reweight, deterministic=deterministic)
+        return x + attn_out.reshape(b, h, w, c)
+
+
+class TimestepBlock(nn.Module):
+    """FiLM modulation by the timestep embedding (reference: src/modules.py:99-106).
+
+    Zero-initialized (src/modules.py:203-204) so it is the identity at init.
+    """
+
+    c: int
+    c_timestep: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, t_embed: Array) -> Array:
+        ab = nn.Dense(
+            self.c * 2,
+            dtype=self.dtype,
+            kernel_init=tinit.zeros,
+            bias_init=tinit.zeros,
+            name="mapper",
+        )(t_embed)
+        a, b = jnp.split(ab[:, None, None, :], 2, axis=-1)
+        return x * (1 + a) + b
+
+
+class ConvTranspose2dTorch(nn.Module):
+    """ConvTranspose2d with torch-exact semantics and default init.
+
+    The reference's upsamplers are ConvTranspose2d (src/modules.py:174,
+    src/vqgan.py:83), which Paella._init_weights does NOT re-initialize (it only
+    matches nn.Conv2d/nn.Linear), so they keep torch's kaiming-uniform default —
+    replicated by kaiming_uniform_leaky_transpose. Kernel stored as (kh, kw, in, out).
+    """
+
+    features: int
+    kernel_size: tuple[int, int]
+    strides: tuple[int, int]
+    padding: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        kh, kw = self.kernel_size
+        c_in = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            tinit.kaiming_uniform_leaky_transpose(),
+            (kh, kw, c_in, self.features),
+        )
+        fan_in = self.features * kh * kw  # torch's fan for transpose kernels
+        bias = self.param("bias", tinit.torch_default_bias(fan_in), (self.features,))
+        # transposed conv == conv over the lhs-dilated input with a flipped kernel
+        k = jnp.flip(kernel, axis=(0, 1)).astype(self.dtype)
+        pad_h = kh - 1 - self.padding
+        pad_w = kw - 1 - self.padding
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            k,
+            window_strides=(1, 1),
+            padding=[(pad_h, pad_h), (pad_w, pad_w)],
+            lhs_dilation=self.strides,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias.astype(self.dtype)
+
+
+class Downsample(nn.Module):
+    """LN + strided 2x2 conv between UNet levels (reference: src/modules.py:152-156)."""
+
+    c_out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = layer_norm(x)
+        return nn.Conv(
+            self.c_out,
+            (2, 2),
+            strides=(2, 2),
+            padding="VALID",
+            dtype=self.dtype,
+            kernel_init=tinit.xavier_uniform(),
+            bias_init=tinit.zeros,
+            name="conv",
+        )(x)
+
+
+class Upsample(nn.Module):
+    """LN + 2x2 stride-2 transposed conv (reference: src/modules.py:171-175)."""
+
+    c_out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = layer_norm(x)
+        return ConvTranspose2dTorch(self.c_out, (2, 2), (2, 2), padding=0, dtype=self.dtype, name="conv")(x)

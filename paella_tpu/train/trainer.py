@@ -1,0 +1,204 @@
+"""Training: masked-token cross-entropy over a device mesh.
+
+TPU-native replacement for the reference's distributed trainer
+(reference: src_distributed/train.py:33-189). Deltas by design:
+
+- DDP + NCCL allreduce + GradScaler AMP -> one pjit'd train_step over a Mesh.
+  Gradient reduction is XLA's automatic psum over ICI; bf16 compute with f32
+  params needs no loss scaling.
+- The hot path (VQGAN encode -> add_noise -> UNet forward/backward -> AdamW) is a
+  single compiled program; frozen-encoder outputs (ByT5/CLIP) enter as batch
+  inputs, and conditioning dropout happens inside the step under jit.
+- Conditioning dropout is per-EXAMPLE (the reference flips one coin per batch,
+  src_distributed/train.py:79-97 — per-example is the same marginal rate with
+  lower gradient variance).
+- Gradient accumulation uses a lax.scan over microbatches (replaces DDP no_sync,
+  src_distributed/train.py:122).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..config import TrainConfig
+from ..models.noise import add_noise, get_loss_weight
+
+Array = jax.Array
+
+
+class TrainState(struct.PyTreeNode):
+    step: Array
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(step=self.step + 1, params=new_params, opt_state=new_opt_state)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Batch:
+    """One training batch. images in [0,1], NHWC. Conditioning embeddings come from
+    the frozen encoders (paella_tpu.cond); byt5_mask marks real (non-pad) tokens."""
+
+    images: Array
+    byt5: Array
+    byt5_mask: Array
+    clip: Array
+    clip_image: Array
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class NullCond:
+    """Precomputed empty-string conditioning used for dropout: the frozen ByT5 /
+    CLIP-text embeddings of "" (reference recomputes these per batch,
+    src_distributed/train.py:79-91; precomputing is equivalent and keeps the
+    encoders out of the train step)."""
+
+    byt5: Array  # (1, S0, D)
+    byt5_mask: Array  # (1, S0)
+    clip: Array  # (1, C)
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    """AdamW(lr=1e-4, torch defaults incl. weight_decay=0.01 on all params) with
+    linear warmup and global-norm clipping at 1.0
+    (reference: src_distributed/train.py:55-57, 116)."""
+    schedule = optax.linear_schedule(0.0, cfg.lr, cfg.warmup_updates)
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01),
+    )
+
+
+def smoothed_weighted_ce(logits: Array, labels: Array, weight: Array, smoothing: float) -> Array:
+    """CrossEntropyLoss(label_smoothing=0.1, reduction='none') with the reference's
+    per-image weighted normalization (src_distributed/train.py:106-107):
+    ((loss * w).sum(H,W) / w.sum(H,W)).mean() — computed without materializing the
+    (B,H,W,K) one-hot."""
+    lsm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(lsm, labels[..., None], axis=-1)[..., 0]
+    smooth = -jnp.mean(lsm, axis=-1)
+    loss = (1.0 - smoothing) * nll + smoothing * smooth
+    per_image = jnp.sum(loss * weight, axis=(1, 2)) / jnp.sum(weight, axis=(1, 2))
+    return jnp.mean(per_image)
+
+
+def apply_cond_dropout(cfg: TrainConfig, key: Array, batch: Batch, null: NullCond):
+    """Per-example conditioning dropout (reference: src_distributed/train.py:79-97):
+    5% empty ByT5, 90% empty CLIP-text, 90% drop CLIP-image (masked off entirely,
+    matching the reference's clip_image=None)."""
+    b = batch.images.shape[0]
+    k1, k2, k3 = jax.random.split(key, 3)
+    drop_byt5 = jax.random.bernoulli(k1, cfg.byt5_drop_prob, (b,))
+    drop_clip = jax.random.bernoulli(k2, cfg.clip_text_drop_prob, (b,))
+    drop_img = jax.random.bernoulli(k3, cfg.clip_image_drop_prob, (b,))
+
+    s = batch.byt5.shape[1]
+    s0 = null.byt5.shape[1]
+    pad = max(0, s - s0)
+    null_byt5 = jnp.pad(null.byt5, ((0, 0), (0, pad), (0, 0)))[:, :s]
+    null_mask = jnp.pad(null.byt5_mask, ((0, 0), (0, pad)))[:, :s]
+
+    byt5 = jnp.where(drop_byt5[:, None, None], null_byt5, batch.byt5)
+    byt5_mask = jnp.where(drop_byt5[:, None], null_mask, batch.byt5_mask)
+    clip = jnp.where(drop_clip[:, None], null.clip, batch.clip)
+    clip_image_mask = ~drop_img
+    return byt5, byt5_mask, clip, batch.clip_image, clip_image_mask
+
+
+def loss_fn(params, model, vq_model, vq_vars, cfg: TrainConfig, batch: Batch, null: NullCond, rng: Array):
+    k_drop, k_t, k_noise, k_dropout = jax.random.split(rng, 4)
+    b = batch.images.shape[0]
+
+    byt5, byt5_mask, clip, clip_image, clip_image_mask = apply_cond_dropout(cfg, k_drop, batch, null)
+
+    # t ~ (t_min, 1] (reference: src_distributed/train.py:99)
+    u = jax.random.uniform(k_t, (b,))
+    t = jnp.clip(1.0 - u + cfg.t_min, cfg.t_min, 1.0)
+
+    # frozen codec encode -> token grid (reference: src_distributed/train.py:100)
+    from ..codec.vqgan import VQModel
+
+    latents = jax.lax.stop_gradient(
+        vq_model.apply(vq_vars, batch.images, method=VQModel.encode)[2]
+    )
+    noised, mask = add_noise(k_noise, latents, t, model.config.num_labels)
+    weight = get_loss_weight(t, mask, cfg.loss_weight_min)
+
+    logits = model.apply(
+        {"params": params},
+        noised,
+        t,
+        byt5,
+        clip,
+        clip_image,
+        byt5_mask=byt5_mask,
+        clip_image_mask=clip_image_mask,
+        deterministic=False,
+        rngs={"dropout": k_dropout},
+    )
+    loss = smoothed_weighted_ce(logits, latents, weight, cfg.label_smoothing)
+    acc = jnp.mean((jnp.argmax(logits, axis=-1) == latents).astype(jnp.float32))
+    return loss, {"acc": acc}
+
+
+def make_train_step(model, vq_model, cfg: TrainConfig):
+    """Build the jittable train_step(state, vq_vars, batch, null, rng).
+
+    With grad_accum_steps > 1 the batch's leading axis is split into microbatches
+    and gradients are averaged via lax.scan before the single optimizer update.
+    Shard `batch` over the mesh's data axes and XLA emits the gradient psum.
+    """
+
+    def train_step(state: TrainState, vq_vars, batch: Batch, null: NullCond, rng: Array):
+        rng = jax.random.fold_in(rng, state.step)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        if cfg.grad_accum_steps <= 1:
+            (loss, aux), grads = grad_fn(state.params, model, vq_model, vq_vars, cfg, batch, null, rng)
+        else:
+            n = cfg.grad_accum_steps
+
+            def reshape(x):
+                return x.reshape((n, x.shape[0] // n) + x.shape[1:])
+
+            micro = jax.tree_util.tree_map(reshape, batch)
+
+            def accum(carry, inputs):
+                g_acc, l_acc, a_acc = carry
+                mb, i = inputs
+                (l, aux), g = grad_fn(
+                    state.params, model, vq_model, vq_vars, cfg, mb, null, jax.random.fold_in(rng, i)
+                )
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                return (g_acc, l_acc + l, a_acc + aux["acc"]), None
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (grads, loss, acc), _ = jax.lax.scan(
+                accum, (zeros, 0.0, 0.0), (micro, jnp.arange(n))
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / n, grads)
+            loss, aux = loss / n, {"acc": acc / n}
+
+        grad_norm = optax.global_norm(grads)
+        state = state.apply_gradients(grads)
+        metrics = {"loss": loss, "acc": aux["acc"], "grad_norm": grad_norm}
+        return state, metrics
+
+    return train_step
+
+
+def create_train_state(params, cfg: TrainConfig) -> TrainState:
+    tx = make_optimizer(cfg)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params), tx=tx)

@@ -1,0 +1,190 @@
+"""Converter tests: a synthetic torch-format state_dict (correct keys/shapes, random
+values) must convert into exactly the param tree our models initialize — same paths,
+same shapes — and the converted VQGAN must run."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import flax
+
+from paella_tpu.config import PaellaConfig, VQConfig
+from paella_tpu.codec import VQModel
+from paella_tpu.convert import convert_paella, convert_vqgan, expected_paella_keys
+from paella_tpu.models import Paella, init_params
+
+P_CFG = PaellaConfig.tiny()
+V_CFG = VQConfig.tiny()
+
+
+def synth_paella_state_dict(cfg):
+    """Random tensors with the exact shapes torch's Paella would produce."""
+    rng = np.random.default_rng(0)
+    sd = {}
+    c0 = cfg.c_hidden[0]
+
+    def lin(prefix, cin, cout, bias=True):
+        sd[f"{prefix}.weight"] = rng.standard_normal((cout, cin), dtype=np.float32) * 0.02
+        if bias:
+            sd[f"{prefix}.bias"] = rng.standard_normal((cout,), dtype=np.float32) * 0.02
+
+    def conv(prefix, cin, cout, k, groups=1, bias=True):
+        sd[f"{prefix}.weight"] = (
+            rng.standard_normal((cout, cin // groups, k, k), dtype=np.float32) * 0.02
+        )
+        if bias:
+            sd[f"{prefix}.bias"] = rng.standard_normal((cout,), dtype=np.float32) * 0.02
+
+    lin("byt5_mapper", cfg.byt5_embd, cfg.c_cond)
+    lin("clip_mapper", cfg.clip_embd, cfg.c_cond * cfg.clip_seq_len)
+    lin("clip_image_mapper", cfg.clip_embd, cfg.c_cond * cfg.clip_seq_len)
+    sd["in_mapper.0.weight"] = rng.standard_normal((cfg.num_labels, cfg.c_in), dtype=np.float32)
+    conv("embedding.1", cfg.c_in * 4, c0, 1)
+    conv("clf.1", c0, cfg.c_out * 4, 1)
+    conv("out_mapper.1", cfg.c_out, cfg.num_labels, 1, bias=False)
+
+    def block(prefix, bt, c, c_skip=0):
+        if bt in ("C", "F"):
+            if bt == "C":
+                conv(f"{prefix}.depthwise", c + c_skip, c, cfg.kernel_size, groups=c)
+            lin(f"{prefix}.channelwise.0", c, c * 4)
+            sd[f"{prefix}.channelwise.2.gamma"] = np.zeros((1, 1, 1, c * 4), np.float32)
+            sd[f"{prefix}.channelwise.2.beta"] = np.zeros((1, 1, 1, c * 4), np.float32)
+            lin(f"{prefix}.channelwise.4", c * 4, c)
+        elif bt == "A":
+            lin(f"{prefix}.kv_mapper.1", cfg.c_cond, c)
+            sd[f"{prefix}.attention.attn.in_proj_weight"] = (
+                rng.standard_normal((3 * c, c), dtype=np.float32) * 0.02
+            )
+            sd[f"{prefix}.attention.attn.in_proj_bias"] = np.zeros((3 * c,), np.float32)
+            lin(f"{prefix}.attention.attn.out_proj", c, c)
+        elif bt == "T":
+            lin(f"{prefix}.mapper", cfg.c_r, c * 2)
+
+    n = len(cfg.c_hidden)
+    for i in range(n):
+        j = 0
+        if i > 0:
+            conv(f"down_blocks.{i}.0.1", cfg.c_hidden[i - 1], cfg.c_hidden[i], 2)
+            j = 1
+        for rep in range(cfg.blocks[i]):
+            for bt in cfg.level_config[i]:
+                block(f"down_blocks.{i}.{j}", bt, cfg.c_hidden[i])
+                j += 1
+    for iu, i in enumerate(reversed(range(n))):
+        j = 0
+        for rep in range(cfg.blocks[i]):
+            for k, bt in enumerate(cfg.level_config[i]):
+                c_skip = cfg.c_hidden[i] if (i < n - 1 and rep == 0 and k == 0) else 0
+                block(f"up_blocks.{iu}.{j}", bt, cfg.c_hidden[i], c_skip)
+                j += 1
+        if i > 0:
+            # ConvTranspose2d torch layout (in, out, kh, kw)
+            sd[f"up_blocks.{iu}.{j}.1.weight"] = (
+                rng.standard_normal((cfg.c_hidden[i], cfg.c_hidden[i - 1], 2, 2), dtype=np.float32)
+                * 0.02
+            )
+            sd[f"up_blocks.{iu}.{j}.1.bias"] = np.zeros((cfg.c_hidden[i - 1],), np.float32)
+    return sd
+
+
+def tree_shapes(tree):
+    return {
+        "/".join(k): v.shape
+        for k, v in flax.traverse_util.flatten_dict(tree).items()
+    }
+
+
+def test_paella_converter_produces_init_structure():
+    sd = synth_paella_state_dict(P_CFG)
+    assert set(sd.keys()) == set(expected_paella_keys(P_CFG))
+    converted = convert_paella(sd, P_CFG)
+
+    model = Paella(P_CFG)
+    ref_params = jax.eval_shape(lambda: init_params(model, jax.random.PRNGKey(0), (16, 16)))
+    assert tree_shapes(converted) == tree_shapes(ref_params)
+
+    # converted params must actually run
+    logits = model.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, converted)},
+        jnp.zeros((1, 16, 16), jnp.int32),
+        jnp.ones((1,)),
+        jnp.ones((1, 3, P_CFG.byt5_embd)),
+        jnp.ones((1, P_CFG.clip_embd)),
+    )
+    assert logits.shape == (1, 16, 16, P_CFG.num_labels)
+
+
+def synth_vqgan_state_dict(cfg):
+    rng = np.random.default_rng(1)
+    sd = {}
+    c_levels = [cfg.c_hidden // (2**i) for i in reversed(range(cfg.levels))]
+
+    def lin(prefix, cin, cout, bias=True):
+        sd[f"{prefix}.weight"] = rng.standard_normal((cout, cin), dtype=np.float32) * 0.02
+        if bias:
+            sd[f"{prefix}.bias"] = np.zeros((cout,), np.float32)
+
+    def conv(prefix, cin, cout, k, groups=1, bias=True):
+        sd[f"{prefix}.weight"] = (
+            rng.standard_normal((cout, cin // groups, k, k), dtype=np.float32) * 0.02
+        )
+        if bias:
+            sd[f"{prefix}.bias"] = np.zeros((cout,), np.float32)
+
+    def res(prefix, c):
+        sd[f"{prefix}.gammas"] = np.zeros((6,), np.float32)
+        conv(f"{prefix}.depthwise.1", c, c, 3, groups=c)
+        lin(f"{prefix}.channelwise.0", c, c * 4)
+        lin(f"{prefix}.channelwise.2", c * 4, c)
+
+    conv("in_block.1", 12, c_levels[0], 1)
+    j = 0
+    for i in range(cfg.levels):
+        if i > 0:
+            conv(f"down_blocks.{j}", c_levels[i - 1], c_levels[i], 4)
+            j += 1
+        res(f"down_blocks.{j}", c_levels[i])
+        j += 1
+    conv(f"down_blocks.{j}.0", c_levels[-1], cfg.c_latent, 1, bias=False)
+    sd[f"down_blocks.{j}.1.weight"] = np.ones((cfg.c_latent,), np.float32)
+    sd[f"down_blocks.{j}.1.bias"] = np.zeros((cfg.c_latent,), np.float32)
+    sd[f"down_blocks.{j}.1.running_mean"] = np.zeros((cfg.c_latent,), np.float32)
+    sd[f"down_blocks.{j}.1.running_var"] = np.ones((cfg.c_latent,), np.float32)
+
+    sd["vquantizer.codebook.weight"] = rng.standard_normal(
+        (cfg.codebook_size, cfg.c_latent), dtype=np.float32
+    )
+
+    conv("up_blocks.0.0", cfg.c_latent, c_levels[-1], 1)
+    j = 1
+    for i in range(cfg.levels):
+        nb = cfg.bottleneck_blocks if i == 0 else 1
+        c = c_levels[cfg.levels - 1 - i]
+        for _ in range(nb):
+            res(f"up_blocks.{j}", c)
+            j += 1
+        if i < cfg.levels - 1:
+            sd[f"up_blocks.{j}.weight"] = (
+                rng.standard_normal((c, c_levels[cfg.levels - 2 - i], 4, 4), dtype=np.float32) * 0.02
+            )
+            sd[f"up_blocks.{j}.bias"] = np.zeros((c_levels[cfg.levels - 2 - i],), np.float32)
+            j += 1
+    conv("out_block.0", c_levels[0], 12, 1)
+    return sd
+
+
+def test_vqgan_converter_produces_init_structure():
+    sd = synth_vqgan_state_dict(V_CFG)
+    converted = convert_vqgan(sd, V_CFG)
+
+    model = VQModel(V_CFG)
+    ref_vars = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3))))
+    assert tree_shapes(converted["params"]) == tree_shapes(ref_vars["params"])
+    assert tree_shapes(converted["batch_stats"]) == tree_shapes(ref_vars["batch_stats"])
+
+    variables = jax.tree_util.tree_map(jnp.asarray, converted)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 32, 32, 3))
+    qe, z, idx, loss = model.apply(variables, x, method=VQModel.encode)
+    img = model.apply(variables, idx, method=VQModel.decode_indices)
+    assert img.shape == (1, 32, 32, 3)

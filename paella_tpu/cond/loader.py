@@ -1,0 +1,137 @@
+"""Frozen conditioning-model loader — the reference's load_conditional_models
+(reference: src_distributed/utils.py:65-82) rebuilt for JAX.
+
+Loads the converted VQGAN + ByT5 encoder + CLIP towers and returns jit'd encode
+callables ready for PaellaPipeline. All weights come from local files (torch
+checkpoints are converted on the fly); nothing is downloaded.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codec.vqgan import VQModel
+from ..config import VQConfig
+from .clip import (
+    CLIPTextConfig,
+    CLIPTextEncoder,
+    CLIPVisionConfig,
+    CLIPVisionEncoder,
+    clip_preprocess,
+    convert_open_clip_text,
+    convert_open_clip_vision,
+)
+from .t5 import T5Config, T5Encoder, convert_t5_encoder
+from .tokenizers import byt5_batch_encode, pad_bucket
+
+Array = jax.Array
+
+
+@dataclasses.dataclass
+class ConditionalModels:
+    """Bundle returned by load_conditional_models: the codec plus jit'd frozen
+    encoder callables (mirrors the reference's (vqgan, clip triple, byt5 pair))."""
+
+    vq: VQModel
+    vq_vars: dict
+    byt5_encode: Callable[[Array, Array], Array]  # (ids, mask) -> states
+    clip_text_encode: Optional[Callable[[Sequence[str]], Array]] = None
+    clip_image_encode: Optional[Callable[[Array], Array]] = None
+
+
+def load_vqgan(path: str, cfg: VQConfig = VQConfig()) -> Tuple[VQModel, dict]:
+    """Converted reference VQGAN checkpoint -> (model, variables)."""
+    from ..convert import convert_vqgan, load_torch_state_dict
+
+    sd = load_torch_state_dict(path)
+    variables = jax.tree_util.tree_map(jnp.asarray, convert_vqgan(sd, cfg))
+    return VQModel(cfg), variables
+
+
+def load_byt5(path: str, cfg: T5Config) -> Callable[[Array, Array], Array]:
+    """Converted HF ByT5 torch checkpoint -> jit'd (ids, mask) -> states."""
+    from ..convert.torch_import import load_torch_state_dict
+
+    sd = load_torch_state_dict(path, key=None)
+    params = jax.tree_util.tree_map(jnp.asarray, convert_t5_encoder(sd, cfg))
+    model = T5Encoder(cfg)
+
+    @jax.jit
+    def encode(ids: Array, mask: Array) -> Array:
+        return model.apply({"params": params}, ids, mask)
+
+    return encode
+
+
+def load_open_clip(
+    path: str,
+    text_cfg: CLIPTextConfig = CLIPTextConfig.vit_h_14(),
+    vision_cfg: CLIPVisionConfig = CLIPVisionConfig.vit_h_14(),
+    tokenizer: Optional[Callable[[Sequence[str]], np.ndarray]] = None,
+) -> Tuple[Callable, Callable]:
+    """Converted open_clip checkpoint -> (text_encode(prompts), image_encode(imgs)).
+
+    `tokenizer` maps prompts -> (B, 77) int ids (open_clip BPE). If None, the
+    open_clip package's tokenizer is used when importable.
+    """
+    from ..convert.torch_import import load_torch_state_dict
+
+    sd = load_torch_state_dict(path, key=None)
+    text_params = jax.tree_util.tree_map(jnp.asarray, convert_open_clip_text(sd, text_cfg))
+    vision_params = jax.tree_util.tree_map(jnp.asarray, convert_open_clip_vision(sd, vision_cfg))
+    text_model = CLIPTextEncoder(text_cfg)
+    vision_model = CLIPVisionEncoder(vision_cfg)
+
+    if tokenizer is None:
+        try:
+            import open_clip
+
+            _tok = open_clip.get_tokenizer("ViT-H-14")
+            tokenizer = lambda prompts: np.asarray(_tok(list(prompts)))
+        except ImportError as e:
+            raise ImportError(
+                "no CLIP tokenizer: pass tokenizer= (prompts -> (B,77) ids); "
+                "open_clip is not installed"
+            ) from e
+
+    @jax.jit
+    def _encode_text_ids(ids: Array) -> Array:
+        return text_model.apply({"params": text_params}, ids)
+
+    def text_encode(prompts: Sequence[str]) -> Array:
+        return _encode_text_ids(jnp.asarray(tokenizer(prompts)))
+
+    @jax.jit
+    def image_encode(images: Array) -> Array:
+        return vision_model.apply({"params": vision_params}, clip_preprocess(images))
+
+    return text_encode, image_encode
+
+
+def load_conditional_models(
+    vqgan_path: str,
+    byt5_path: Optional[str] = None,
+    byt5_cfg: Optional[T5Config] = None,
+    clip_path: Optional[str] = None,
+    vq_cfg: VQConfig = VQConfig(),
+) -> ConditionalModels:
+    """One-call loader mirroring reference load_conditional_models
+    (src_distributed/utils.py:65-82): frozen VQGAN (+ optionally ByT5 + CLIP)."""
+    vq, vq_vars = load_vqgan(vqgan_path, vq_cfg)
+    byt5_encode = None
+    if byt5_path is not None:
+        byt5_encode = load_byt5(byt5_path, byt5_cfg or T5Config.byt5_xl())
+    clip_text = clip_image = None
+    if clip_path is not None:
+        clip_text, clip_image = load_open_clip(clip_path)
+    return ConditionalModels(
+        vq=vq,
+        vq_vars=vq_vars,
+        byt5_encode=byt5_encode,
+        clip_text_encode=clip_text,
+        clip_image_encode=clip_image,
+    )

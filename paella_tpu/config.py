@@ -34,6 +34,7 @@ class PaellaConfig:
     dropout: Tuple[float, ...] = (0.1, 0.1, 0.1)
     self_attn: bool = True
     dtype: str = "float32"  # compute dtype; params are always float32
+    remat: bool = False  # jax.checkpoint every block (training memory for FLOPs)
 
     @property
     def compute_dtype(self):

@@ -1,0 +1,21 @@
+from .loader import (
+    SampleFilter,
+    SyntheticDataset,
+    WebDatasetLoader,
+    decode_image,
+    iter_tar_samples,
+    random_crop,
+    resize_shorter_side,
+    write_tar_shard,
+)
+
+__all__ = [
+    "SampleFilter",
+    "SyntheticDataset",
+    "WebDatasetLoader",
+    "decode_image",
+    "iter_tar_samples",
+    "random_crop",
+    "resize_shorter_side",
+    "write_tar_shard",
+]

@@ -1,0 +1,249 @@
+"""Input pipeline: webdataset-compatible shard reader + filters + transforms.
+
+Replaces the reference's torch DataLoader stack (reference:
+src_distributed/utils.py:13-62): a WebDataset tar pipeline with metadata filters,
+shuffle, JPEG decode and crop transforms, and `warn_and_continue`-style error
+skipping. This implementation has no torch/webdataset dependency — it reads
+WebDataset-layout tar shards natively, filters on the same json metadata fields,
+and yields numpy NHWC float batches ready for `jax.device_put`.
+
+A synthetic dataset is provided for tests/smoke training (the minimal reference
+trainer ships a placeholder dataset the same way, src/utils.py:14-17).
+"""
+from __future__ import annotations
+
+import dataclasses
+import io
+import json
+import random
+import tarfile
+from typing import Callable, Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class SampleFilter:
+    """Metadata filter with the reference's thresholds and semantics
+    (reference: src_distributed/utils.py:20-52): requires the json sidecar; treats
+    missing/null fields as failing defaults; optional text conditions."""
+
+    min_size: int = 256
+    max_pwatermark: float = 0.5
+    aesthetic_threshold: float = 5.0
+    unsafe_threshold: float = 0.99
+    text_conditions: Optional[dict] = None
+
+    def __call__(self, sample: Dict[str, bytes]) -> bool:
+        def get(meta, key, default):
+            # None-aware default: the reference's `x or default` idiom
+            # (src_distributed/utils.py:32-37) wrongly rejects punsafe == 0.0
+            # (a falsy valid value); only absent/null fields take the default here.
+            v = meta.get(key)
+            return default if v is None else v
+
+        try:
+            if "json" not in sample:
+                return False
+            meta = json.loads(sample["json"])
+            ok_size = (
+                get(meta, "original_width", 0.0) >= self.min_size
+                and get(meta, "original_height", 0.0) >= self.min_size
+            )
+            ok_watermark = get(meta, "pwatermark", 1.0) <= self.max_pwatermark
+            ok_aesthetic = (
+                get(meta, "aesthetic", 0.0) >= self.aesthetic_threshold
+                or get(meta, "AESTHETIC_SCORE", 0.0) >= self.aesthetic_threshold
+            )
+            ok_unsafe = get(meta, "punsafe", 1.0) <= self.unsafe_threshold
+            ok_text = True
+            if self.text_conditions is not None:
+                caption = sample["txt"].decode("utf-8")
+                tc = self.text_conditions
+                ok_text = (
+                    len(caption.split(" ")) >= tc.get("min_words", 0)
+                    and all(ord(ch) < 128 for ch in caption)
+                    and all(w not in caption.lower() for w in tc.get("forbidden_words", ()))
+                )
+            return bool(ok_size and ok_watermark and ok_aesthetic and ok_unsafe and ok_text)
+        except Exception:
+            return False
+
+
+def iter_tar_samples(path: str, handler: str = "warn") -> Iterator[Dict[str, bytes]]:
+    """Group tar members by key prefix (WebDataset layout: key.jpg / key.txt /
+    key.json). Decode/IO errors skip the sample (the reference wraps every stage
+    in warn_and_continue, src_distributed/utils.py:56-61)."""
+    try:
+        tf = tarfile.open(path, "r|*")
+    except Exception as e:
+        if handler == "warn":
+            print(f"[data] failed to open shard {path}: {e}")
+            return
+        raise
+    current_key = None
+    current: Dict[str, bytes] = {}
+    with tf:
+        for member in tf:
+            if not member.isfile():
+                continue
+            name = member.name
+            if "." not in name:
+                continue
+            key, ext = name.rsplit(".", 1)
+            try:
+                data = tf.extractfile(member).read()
+            except Exception as e:
+                if handler == "warn":
+                    print(f"[data] bad member {name} in {path}: {e}")
+                    continue
+                raise
+            if key != current_key:
+                if current_key is not None and current:
+                    yield current
+                current_key, current = key, {}
+            current[ext.lower()] = data
+    if current_key is not None and current:
+        yield current
+
+
+def decode_image(data: bytes) -> Optional[np.ndarray]:
+    """JPEG/PNG bytes -> float32 RGB HWC in [0,1]. Uses PIL when present (gated),
+    falling back to torchvision-free numpy paths is not possible for JPEG, so
+    missing PIL returns None (caller skips)."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    try:
+        img = Image.open(io.BytesIO(data)).convert("RGB")
+        return np.asarray(img, np.float32) / 255.0
+    except Exception:
+        return None
+
+
+def resize_shorter_side(img: np.ndarray, size: int) -> np.ndarray:
+    """Bilinear resize so the shorter side == size (torchvision Resize semantics,
+    reference: src_distributed/utils.py:15)."""
+    h, w = img.shape[:2]
+    if h < w:
+        nh, nw = size, max(size, int(round(w * size / h)))
+    else:
+        nh, nw = max(size, int(round(h * size / w))), size
+    if (nh, nw) == (h, w):
+        return img
+    import jax
+
+    return np.asarray(jax.image.resize(img, (nh, nw, img.shape[2]), method="bilinear"))
+
+
+def random_crop(img: np.ndarray, size: int, rng: random.Random) -> np.ndarray:
+    h, w = img.shape[:2]
+    top = rng.randint(0, max(h - size, 0))
+    left = rng.randint(0, max(w - size, 0))
+    return img[top : top + size, left : left + size]
+
+
+@dataclasses.dataclass
+class WebDatasetLoader:
+    """Streaming loader over WebDataset tar shards.
+
+    Yields (images (B, size, size, 3) float32 NHWC, captions list[str]) batches.
+    Shards are resampled indefinitely (reference: wds.WebDataset(resampled=True))
+    with a shuffle buffer (reference buffer: 690) and metadata filtering.
+    For multi-host training, pass distinct `shard_offset`/`shard_stride`.
+    """
+
+    shards: Sequence[str]
+    batch_size: int
+    image_size: int = 256
+    shuffle_buffer: int = 690
+    filter: Optional[Callable[[Dict[str, bytes]], bool]] = dataclasses.field(
+        default_factory=SampleFilter
+    )
+    seed: int = 0
+    shard_offset: int = 0
+    shard_stride: int = 1
+    resample: bool = True
+
+    def _sample_stream(self) -> Iterator[Tuple[np.ndarray, str]]:
+        rng = random.Random(self.seed)
+        shards = list(self.shards)[self.shard_offset :: self.shard_stride]
+        if not shards:
+            return
+        epoch = 0
+        while True:
+            order = shards[:]
+            rng.shuffle(order)
+            for shard in order:
+                for sample in iter_tar_samples(shard):
+                    if "jpg" not in sample and "png" not in sample:
+                        continue
+                    if "txt" not in sample:
+                        continue
+                    if self.filter is not None and not self.filter(sample):
+                        continue
+                    img = decode_image(sample.get("jpg", sample.get("png")))
+                    if img is None or min(img.shape[:2]) < 2:
+                        continue
+                    img = resize_shorter_side(img, self.image_size)
+                    img = random_crop(img, self.image_size, rng)
+                    if img.shape[:2] != (self.image_size, self.image_size):
+                        continue
+                    yield img, sample["txt"].decode("utf-8", errors="ignore")
+            epoch += 1
+            if not self.resample:
+                return
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, List[str]]]:
+        rng = random.Random(self.seed + 1)
+        buf: List[Tuple[np.ndarray, str]] = []
+        images, captions = [], []
+        for item in self._sample_stream():
+            if self.shuffle_buffer > 1:
+                buf.append(item)
+                if len(buf) < self.shuffle_buffer:
+                    continue
+                idx = rng.randrange(len(buf))
+                buf[idx], item = item, buf[idx]
+            images.append(item[0])
+            captions.append(item[1])
+            if len(images) == self.batch_size:
+                yield np.stack(images), captions
+                images, captions = [], []
+        # drain the buffer at end-of-data (non-resampled mode)
+        for item in buf:
+            images.append(item[0])
+            captions.append(item[1])
+            if len(images) == self.batch_size:
+                yield np.stack(images), captions
+                images, captions = [], []
+
+
+@dataclasses.dataclass
+class SyntheticDataset:
+    """Deterministic random images + captions for tests and smoke training."""
+
+    batch_size: int
+    image_size: int = 256
+    seed: int = 0
+    captions: Sequence[str] = ("a photo of a corgi", "an oil painting of the sea")
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, List[str]]]:
+        rng = np.random.default_rng(self.seed)
+        while True:
+            images = rng.uniform(
+                0.0, 1.0, (self.batch_size, self.image_size, self.image_size, 3)
+            ).astype(np.float32)
+            caps = [self.captions[i % len(self.captions)] for i in range(self.batch_size)]
+            yield images, caps
+
+
+def write_tar_shard(path: str, samples: Iterable[Tuple[str, Dict[str, bytes]]]) -> None:
+    """Write samples ({ext: bytes}) into a WebDataset-layout tar (test utility)."""
+    with tarfile.open(path, "w") as tf:
+        for key, parts in samples:
+            for ext, data in parts.items():
+                info = tarfile.TarInfo(f"{key}.{ext}")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))

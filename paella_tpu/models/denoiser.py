@@ -111,9 +111,16 @@ class Paella(nn.Module):
             kernel_init=tinit.normal((1.0 / cfg.num_labels) ** 0.5),
         )
 
+        # remat: recompute block activations in backward instead of storing them
+        # (jax.checkpoint — the TPU answer to the reference's activation-memory
+        # pressure; the reference has no equivalent)
+        res_cls = nn.remat(ResBlock) if cfg.remat else ResBlock
+        attn_cls = nn.remat(AttnBlock) if cfg.remat else AttnBlock
+        ff_cls = nn.remat(FeedForwardBlock) if cfg.remat else FeedForwardBlock
+
         def make_block(block_type: str, c: int, nhead: int, c_skip: int, drop: float, name: str):
             if block_type == "C":
-                return ResBlock(
+                return res_cls(
                     c,
                     c_skip=c_skip,
                     kernel_size=cfg.kernel_size,
@@ -123,11 +130,11 @@ class Paella(nn.Module):
                     name=name,
                 )
             if block_type == "A":
-                return AttnBlock(
+                return attn_cls(
                     c, cfg.c_cond, nhead, self_attn=cfg.self_attn, dropout=drop, dtype=dtype, name=name
                 )
             if block_type == "F":
-                return FeedForwardBlock(c, dropout=drop, out_init_scale=out_scale, dtype=dtype, name=name)
+                return ff_cls(c, dropout=drop, out_init_scale=out_scale, dtype=dtype, name=name)
             if block_type == "T":
                 return TimestepBlock(c, cfg.c_r, dtype=dtype, name=name)
             raise ValueError(f"Block type {block_type} not supported")
@@ -143,7 +150,7 @@ class Paella(nn.Module):
             for rep in range(cfg.blocks[i]):
                 for k, bt in enumerate(cfg.level_config[i]):
                     level.append(
-                        make_block(bt, c, cfg.nhead[i], 0, cfg.dropout[i], f"down_{i}_{rep}_{k}_{bt}")
+                        (bt, make_block(bt, c, cfg.nhead[i], 0, cfg.dropout[i], f"down_{i}_{rep}_{k}_{bt}"))
                     )
             down_levels.append(level)
         self.downsamples = downsamples
@@ -159,8 +166,11 @@ class Paella(nn.Module):
                 for k, bt in enumerate(cfg.level_config[i]):
                     c_skip = cfg.c_hidden[i] if (i < n - 1 and rep == 0 and k == 0) else 0
                     level.append(
-                        make_block(
-                            bt, cfg.c_hidden[i], cfg.nhead[i], c_skip, cfg.dropout[i], f"up_{i}_{rep}_{k}_{bt}"
+                        (
+                            bt,
+                            make_block(
+                                bt, cfg.c_hidden[i], cfg.nhead[i], c_skip, cfg.dropout[i], f"up_{i}_{rep}_{k}_{bt}"
+                            ),
                         )
                     )
             up_levels.append(level)
@@ -250,10 +260,10 @@ class Paella(nn.Module):
         h = self.embedding_conv(h)
         h = layer_norm(h)
 
-        def run_block(block, h, skip):
-            if isinstance(block, ResBlock):
+        def run_block(bt, block, h, skip):
+            if bt == "C":
                 return block(h, skip, deterministic=deterministic)
-            if isinstance(block, AttnBlock):
+            if bt == "A":
                 return block(
                     h,
                     c_embed,
@@ -261,7 +271,7 @@ class Paella(nn.Module):
                     cond_reweight=cond_reweight,
                     deterministic=deterministic,
                 )
-            if isinstance(block, TimestepBlock):
+            if bt == "T":
                 return block(h, r_embed)
             return block(h, deterministic=deterministic)
 
@@ -270,16 +280,16 @@ class Paella(nn.Module):
         for down, level in zip(self.downsamples, self.down_levels):
             if down is not None:
                 h = down(h)
-            for block in level:
-                h = run_block(block, h, None)
+            for bt, block in level:
+                h = run_block(bt, block, h, None)
             level_outputs.insert(0, h)
 
         # UP (reference: src/modules.py:249-261)
         h = level_outputs[0]
         for i, (level, up) in enumerate(zip(self.up_levels, self.upsamples)):
-            for j, block in enumerate(level):
+            for j, (bt, block) in enumerate(level):
                 skip = level_outputs[i] if (j == 0 and i > 0) else None
-                h = run_block(block, h, skip)
+                h = run_block(bt, block, h, skip)
             if up is not None:
                 h = up(h)
 
@@ -302,7 +312,10 @@ def init_params(model: Paella, rng: Array, latent_hw: tuple[int, int] = (8, 8)) 
     r = jnp.ones((1,), jnp.float32)
     byt5 = jnp.zeros((1, 4, cfg.byt5_embd), jnp.float32)
     clip = jnp.zeros((1, cfg.clip_embd), jnp.float32)
-    variables = model.init(rng, x, r, byt5, clip, clip, deterministic=True)
+    # jit the init: unjitted flax init dispatches thousands of tiny ops eagerly,
+    # which is pathological on remote/tunneled TPU backends
+    init_fn = jax.jit(lambda k: model.init(k, x, r, byt5, clip, clip, deterministic=True))
+    variables = init_fn(rng)
     params = variables["params"]
     params = jax.tree_util.tree_map(lambda p: p, params)  # shallow copy
     emb = params["in_embedding"]["embedding"]  # (num_labels, c_in)

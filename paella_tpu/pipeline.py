@@ -1,0 +1,209 @@
+"""High-level generation pipeline: prompts in, images out.
+
+The reference has no such API — users assemble sampling from the notebook
+(readme.md:39-41: text-to-image, inpainting, outpainting, latent interpolation,
+structural editing, multi-modal conditioning). PaellaPipeline packages those
+capabilities over the framework's jit'd sampler and codec.
+
+Conditioning encoders are pluggable: pass jit-able callables (e.g. the native
+T5Encoder / CLIP towers bound to converted weights) or precomputed embeddings.
+Text is padded to bucket sizes so repeated prompts of similar length reuse the
+same compiled program.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .codec.vqgan import VQModel
+from .config import SampleConfig
+from .cond.tokenizers import byt5_batch_encode, pad_bucket
+from .models.denoiser import Paella
+from .sampling.sampler import Conditioning, interpolate_latents, outpaint_canvas, sample
+
+Array = jax.Array
+
+
+@dataclasses.dataclass
+class PaellaPipeline:
+    """Bundles denoiser + codec + frozen conditioning encoders.
+
+    byt5_encode_fn: (ids (B,S) int32, mask (B,S) bool) -> (B,S,byt5_embd) states
+    clip_text_fn:   (prompts list[str]) -> (B, clip_embd) or None
+    clip_image_fn:  (images (B,H,W,3) in [0,1]) -> (B, clip_embd) or None
+    """
+
+    model: Paella
+    params: Any
+    vq: VQModel
+    vq_vars: Any
+    byt5_encode_fn: Callable[[Array, Array], Array]
+    clip_text_fn: Optional[Callable[[Sequence[str]], Array]] = None
+    clip_image_fn: Optional[Callable[[Array], Array]] = None
+    byt5_max_length: int = 768
+
+    # -- conditioning ------------------------------------------------------
+
+    def encode_text(self, prompts: Sequence[str]) -> tuple[Array, Array]:
+        ids, mask = byt5_batch_encode(prompts, max_length=self.byt5_max_length)
+        target = pad_bucket(ids.shape[1])
+        if target > ids.shape[1]:
+            pad = target - ids.shape[1]
+            ids = np.pad(ids, ((0, 0), (0, pad)))
+            mask = np.pad(mask, ((0, 0), (0, pad)))
+        states = self.byt5_encode_fn(jnp.asarray(ids), jnp.asarray(mask))
+        return states, jnp.asarray(mask)
+
+    def conditioning(
+        self,
+        prompts: Sequence[str],
+        images: Optional[Array] = None,
+    ) -> Conditioning:
+        byt5, byt5_mask = self.encode_text(prompts)
+        clip = self.clip_text_fn(prompts) if self.clip_text_fn is not None else None
+        clip_image = (
+            self.clip_image_fn(images) if (self.clip_image_fn is not None and images is not None) else None
+        )
+        return Conditioning(byt5=byt5, byt5_mask=byt5_mask, clip=clip, clip_image=clip_image)
+
+    def null_conditioning(self, batch: int) -> Conditioning:
+        return self.conditioning([""] * batch)
+
+    # -- generation --------------------------------------------------------
+
+    def _latent_hw(self, image_hw: tuple[int, int]) -> tuple[int, int]:
+        f = self.vq.config.downscale
+        return image_hw[0] // f, image_hw[1] // f
+
+    def decode(self, tokens: Array) -> Array:
+        return self.vq.apply(self.vq_vars, tokens, method=VQModel.decode_indices)
+
+    def encode_image_tokens(self, images: Array) -> Array:
+        """Image -> token grid via the frozen codec encoder."""
+        return self.vq.apply(self.vq_vars, images, method=VQModel.encode)[2]
+
+    def text_to_image(
+        self,
+        prompts: Sequence[str],
+        key: Array,
+        image_hw: tuple[int, int] = (256, 256),
+        config: SampleConfig = SampleConfig(),
+        images_for_clip: Optional[Array] = None,
+        cond_reweight: Optional[Array] = None,
+    ) -> Array:
+        """Full text-to-image: returns (B, H, W, 3) in [0, 1] (clipped)."""
+        b = len(prompts)
+        cond = self.conditioning(prompts, images_for_clip)
+        uncond = self.null_conditioning(b)
+        h, w = self._latent_hw(image_hw)
+        tokens = sample(
+            self.model,
+            self.params,
+            key,
+            cond,
+            (b, h, w),
+            uncond,
+            config,
+            cond_reweight=cond_reweight,
+        )
+        return jnp.clip(self.decode(tokens), 0.0, 1.0)
+
+    def inpaint(
+        self,
+        prompts: Sequence[str],
+        images: Array,
+        keep_mask: Array,
+        key: Array,
+        config: SampleConfig = SampleConfig(),
+    ) -> Array:
+        """Regenerate the masked-out region of `images` under new prompts.
+
+        keep_mask: (B, h, w) bool over the LATENT grid; True = keep original.
+        """
+        b = len(prompts)
+        cond = self.conditioning(prompts)
+        uncond = self.null_conditioning(b)
+        tokens0 = self.encode_image_tokens(images)
+        out = sample(
+            self.model,
+            self.params,
+            key,
+            cond,
+            tokens0.shape,
+            uncond,
+            config,
+            fixed_mask=keep_mask,
+            fixed_tokens=tokens0,
+        )
+        return jnp.clip(self.decode(out), 0.0, 1.0)
+
+    def outpaint(
+        self,
+        prompts: Sequence[str],
+        images: Array,
+        canvas_hw: tuple[int, int],
+        offset: tuple[int, int],
+        key: Array,
+        config: SampleConfig = SampleConfig(),
+    ) -> Array:
+        """Extend `images` onto a larger canvas; the original content is pinned."""
+        b = len(prompts)
+        cond = self.conditioning(prompts)
+        uncond = self.null_conditioning(b)
+        tokens0 = self.encode_image_tokens(images)
+        ch, cw = self._latent_hw(canvas_hw)
+        oy, ox = self._latent_hw(offset)
+        k_canvas, k_sample = jax.random.split(key)
+        init_x, fixed_mask = outpaint_canvas(
+            tokens0, (ch, cw), (oy, ox), self.model.config.num_labels, k_canvas
+        )
+        out = sample(
+            self.model,
+            self.params,
+            k_sample,
+            cond,
+            (b, ch, cw),
+            uncond,
+            config,
+            init_x=init_x,
+            fixed_mask=fixed_mask,
+            fixed_tokens=init_x,
+        )
+        return jnp.clip(self.decode(out), 0.0, 1.0)
+
+    def img2img(
+        self,
+        prompts: Sequence[str],
+        images: Array,
+        key: Array,
+        strength: float = 0.8,
+        config: SampleConfig = SampleConfig(),
+    ) -> Array:
+        """Start sampling from the tokens of `images` at t_start=strength
+        (the reference sampler's init_x path, src_distributed/utils.py:105-107)."""
+        b = len(prompts)
+        cond = self.conditioning(prompts)
+        uncond = self.null_conditioning(b)
+        tokens0 = self.encode_image_tokens(images)
+        cfg = dataclasses.replace(config, t_start=strength)
+        out = sample(
+            self.model, self.params, key, cond, tokens0.shape, uncond, cfg, init_x=tokens0
+        )
+        return jnp.clip(self.decode(out), 0.0, 1.0)
+
+    def interpolate(self, image_a: Array, image_b: Array, n: int, decode: bool = True) -> Array:
+        """Latent interpolation between two images (n frames incl. endpoints)."""
+        ta = self.encode_image_tokens(image_a[None])[0]
+        tb = self.encode_image_tokens(image_b[None])[0]
+        codebook = self._codebook()
+        frames = interpolate_latents(ta, tb, codebook, jnp.linspace(0.0, 1.0, n))
+        return jnp.clip(self.decode(frames), 0.0, 1.0) if decode else frames
+
+    def _codebook(self) -> Array:
+        vars_ = self.vq_vars
+        params = vars_["params"] if "params" in vars_ else vars_
+        return params["vquantizer"]["codebook"]

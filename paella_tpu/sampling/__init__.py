@@ -1,3 +1,4 @@
+from .editing import build_cond_reweight, phrase_byte_span, reweight_for_phrase
 from .sampler import (
     Conditioning,
     interpolate_latents,
@@ -8,8 +9,11 @@ from .sampler import (
 
 __all__ = [
     "Conditioning",
+    "build_cond_reweight",
     "interpolate_latents",
     "merge_cfg_pair",
     "outpaint_canvas",
+    "phrase_byte_span",
+    "reweight_for_phrase",
     "sample",
 ]

@@ -55,7 +55,10 @@ def test_zero_init_layers(model_and_params):
 def test_masked_clip_image_equals_absent(model_and_params):
     """A zeroed clip_image with mask=False must produce the same logits as
     clip_image=None — the property that lets CFG run cond+uncond in one batch."""
+    from tests._utils import assert_nontrivial, perturb
+
     model, params = model_and_params
+    params = perturb(params, jax.random.PRNGKey(99))
     b, h, w = 2, 16, 16
     key = jax.random.PRNGKey(1)
     x = jax.random.randint(key, (b, h, w), 0, CFG.num_labels)
@@ -65,6 +68,7 @@ def test_masked_clip_image_equals_absent(model_and_params):
     img = jax.random.normal(key, (b, CFG.clip_embd))
 
     without = model.apply({"params": params}, x, r, byt5, clip, None)
+    assert_nontrivial(without, "logits")
     masked = model.apply(
         {"params": params},
         x,
@@ -129,3 +133,25 @@ def test_param_count_full_config_is_reference_scale():
     params = jax.eval_shape(lambda: init_params(model, jax.random.PRNGKey(0), (8, 8)))
     n = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
     assert 0.9e9 < n < 1.1e9, f"param count {n/1e6:.1f}M out of expected range"
+
+
+def test_remat_matches_non_remat():
+    """remat=True must be numerically identical (it only changes what's stored
+    for backward)."""
+    import dataclasses
+
+    model_r = Paella(dataclasses.replace(CFG, remat=True))
+    params = init_params(Paella(CFG), jax.random.PRNGKey(0), latent_hw=(16, 16))
+    x = jax.random.randint(jax.random.PRNGKey(1), (1, 16, 16), 0, CFG.num_labels)
+    r = jnp.full((1,), 0.5)
+    byt5 = jax.random.normal(jax.random.PRNGKey(2), (1, 4, CFG.byt5_embd))
+
+    base = Paella(CFG).apply({"params": params}, x, r, byt5)
+    rem = model_r.apply({"params": params}, x, r, byt5)
+    np.testing.assert_allclose(np.asarray(rem), np.asarray(base), rtol=1e-5, atol=1e-5)
+
+    def loss(p):
+        return jnp.sum(model_r.apply({"params": p}, x, r, byt5) ** 2)
+
+    g = jax.grad(loss)(params)
+    assert np.isfinite(float(jax.tree_util.tree_reduce(lambda a, b: a + jnp.sum(b), g, 0.0)))

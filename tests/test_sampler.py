@@ -78,7 +78,10 @@ def test_inpainting_pins_fixed_tokens(model_and_params):
 def test_merged_cfg_matches_separate_forwards(model_and_params):
     """The batched 2B CFG forward must equal two separate forwards — the core
     correctness claim of the TPU sampler design."""
+    from tests._utils import assert_nontrivial, perturb
+
     model, params = model_and_params
+    params = perturb(params, jax.random.PRNGKey(99))
     cond = make_cond(jax.random.PRNGKey(1), with_image=True)
     uncond = make_cond(jax.random.PRNGKey(2), with_image=False)
     merged = merge_cfg_pair(cond, uncond)
@@ -100,6 +103,7 @@ def test_merged_cfg_matches_separate_forwards(model_and_params):
         )
 
     both = fwd(merged, jnp.concatenate([x, x]), jnp.concatenate([t, t]))
+    assert_nontrivial(both, "logits")
     lc, lu = jnp.split(both, 2, axis=0)
     sep_c = fwd(
         Conditioning(cond.byt5, cond.clip, cond.clip_image), x, t

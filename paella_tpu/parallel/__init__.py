@@ -1,3 +1,4 @@
+from .distributed import initialize_distributed, is_main_process
 from .mesh import (
     batch_sharding,
     batch_spec,
@@ -9,6 +10,8 @@ from .mesh import (
 )
 
 __all__ = [
+    "initialize_distributed",
+    "is_main_process",
     "batch_sharding",
     "batch_spec",
     "fsdp_param_spec",

@@ -1,0 +1,67 @@
+"""Multi-host initialization — the reference's launcher stack, collapsed.
+
+The reference needs a SLURM script (16 nodes, EFA/NCCL env tuning,
+src_distributed/run/run.sh), torch mp.spawn per GPU
+(src_distributed/train.py:186-189), and rank arithmetic + a file rendezvous
+(src_distributed/utils.py:85-94). On TPU pods all of that is
+jax.distributed.initialize(): every host runs the SAME program, JAX discovers
+the topology from the TPU runtime, and collectives ride ICI/DCN automatically.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> dict:
+    """Initialize multi-host JAX. On Cloud TPU pods, call with no arguments —
+    topology is auto-detected. Arguments exist for CPU/GPU clusters or manual
+    rendezvous (the moral equivalent of the reference's MASTER_ADDR/rank math).
+
+    Returns a summary dict {process_index, process_count, local_devices, devices}.
+    Call BEFORE any other jax API. Safe to call on single host (no-op).
+    """
+    import jax
+
+    already = getattr(jax.distributed, "is_initialized", None)
+    try:
+        if coordinator_address is not None or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        elif _on_tpu_pod():
+            jax.distributed.initialize()
+    except RuntimeError as e:
+        if "already initialized" not in str(e):
+            raise
+    return {
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "local_devices": len(jax.local_devices()),
+        "devices": len(jax.devices()),
+    }
+
+
+def _on_tpu_pod() -> bool:
+    """Heuristic: multi-host TPU env markers set by the Cloud TPU runtime."""
+    return bool(
+        os.environ.get("TPU_WORKER_HOSTNAMES")
+        or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+        or os.environ.get("TPU_SKIP_MDS_QUERY") is None
+        and os.environ.get("TPU_WORKER_ID") is not None
+    )
+
+
+def is_main_process() -> bool:
+    """Rank-0 check for host-side side effects (checkpoint writes are handled by
+    orbax internally; use this for logging/eval images — the reference gates the
+    same things on `main_node`, src_distributed/train.py:35,125)."""
+    import jax
+
+    return jax.process_index() == 0

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 # persistent compile cache: repeat bench runs skip the (minutes-long on tunneled
 # backends) XLA compile of the 1B sampler program
-jax.config.update("jax_compilation_cache_dir", "/tmp/paella_jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BASELINE_LATENCY_S = 0.5  # reference readme.md:6: "in less than 500ms"

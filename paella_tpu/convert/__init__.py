@@ -1,3 +1,4 @@
+from .torch_export import export_paella, export_vqgan
 from .torch_import import (
     convert_paella,
     convert_vqgan,
@@ -9,5 +10,7 @@ __all__ = [
     "convert_paella",
     "convert_vqgan",
     "expected_paella_keys",
+    "export_paella",
+    "export_vqgan",
     "load_torch_state_dict",
 ]

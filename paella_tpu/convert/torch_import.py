@@ -128,6 +128,14 @@ def _timestep(sd: Mapping[str, Tensor], prefix: str) -> dict:
 _BLOCK_CONVERTERS = {"C": _resblock, "A": _attnblock, "F": _ffblock, "T": _timestep}
 
 
+def _stack_trees(trees):
+    """Stack a list of identical param trees along a new leading axis (the layout
+    nn.scan expects for the scanned block groups)."""
+    import jax
+
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs, axis=0), *trees)
+
+
 def convert_paella(sd: Mapping[str, Tensor], cfg: PaellaConfig = PaellaConfig()) -> dict:
     """Reference denoiser state_dict -> our Paella param tree.
 
@@ -135,6 +143,10 @@ def convert_paella(sd: Mapping[str, Tensor], cfg: PaellaConfig = PaellaConfig())
     down_blocks.{i} holds an optional downsampler (Sequential at index 0 for i>0)
     then blocks[i] * len(level_config[i]) blocks; up_blocks are built deepest-first
     with the upsampler Sequential appended last for levels > 0.
+
+    Our layout: the first repetition of each level is `{down,up}_{i}_0_{k}_{bt}`;
+    repetitions 1.. are STACKED (leading axis) under `{down,up}_{i}_rest/{k}_{bt}`
+    for the model's nn.scan.
     """
     params: Dict[str, Any] = {
         "byt5_mapper": _dense(sd, "byt5_mapper"),
@@ -146,6 +158,24 @@ def convert_paella(sd: Mapping[str, Tensor], cfg: PaellaConfig = PaellaConfig())
         "out_proj": {"kernel": np.ascontiguousarray(sd["out_mapper.1.weight"][:, :, 0, 0].T)},
     }
 
+    def convert_level(prefix: str, i: int, torch_prefix: str, j0: int) -> int:
+        j = j0
+        rest = []
+        for rep in range(cfg.blocks[i]):
+            group = {}
+            for k, bt in enumerate(cfg.level_config[i]):
+                tree = _BLOCK_CONVERTERS[bt](sd, f"{torch_prefix}.{j}")
+                if rep == 0:
+                    params[f"{prefix}_{i}_0_{k}_{bt}"] = tree
+                else:
+                    group[f"{k}_{bt}"] = tree
+                j += 1
+            if rep > 0:
+                rest.append(group)
+        if rest:
+            params[f"{prefix}_{i}_rest"] = _stack_trees(rest)
+        return j
+
     n_levels = len(cfg.c_hidden)
     # DOWN
     for i in range(n_levels):
@@ -153,17 +183,10 @@ def convert_paella(sd: Mapping[str, Tensor], cfg: PaellaConfig = PaellaConfig())
         if i > 0:
             params[f"down_{i}_downsample"] = {"conv": _conv(sd, f"down_blocks.{i}.{j}.1")}
             j += 1
-        for rep in range(cfg.blocks[i]):
-            for k, bt in enumerate(cfg.level_config[i]):
-                params[f"down_{i}_{rep}_{k}_{bt}"] = _BLOCK_CONVERTERS[bt](sd, f"down_blocks.{i}.{j}")
-                j += 1
+        convert_level("down", i, f"down_blocks.{i}", j)
     # UP (torch index iu counts reversed levels; src/modules.py:163-176)
     for iu, i in enumerate(reversed(range(n_levels))):
-        j = 0
-        for rep in range(cfg.blocks[i]):
-            for k, bt in enumerate(cfg.level_config[i]):
-                params[f"up_{i}_{rep}_{k}_{bt}"] = _BLOCK_CONVERTERS[bt](sd, f"up_blocks.{iu}.{j}")
-                j += 1
+        j = convert_level("up", i, f"up_blocks.{iu}", 0)
         if i > 0:
             params[f"up_{i}_upsample"] = {"conv": _conv_transpose(sd, f"up_blocks.{iu}.{j}.1")}
     return params

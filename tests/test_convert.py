@@ -188,3 +188,26 @@ def test_vqgan_converter_produces_init_structure():
     qe, z, idx, loss = model.apply(variables, x, method=VQModel.encode)
     img = model.apply(variables, idx, method=VQModel.decode_indices)
     assert img.shape == (1, 32, 32, 3)
+
+
+def test_paella_roundtrip_export_import():
+    """import(export(x)) must be exactly x — pins every layout rule."""
+    from paella_tpu.convert import export_paella
+
+    sd = synth_paella_state_dict(P_CFG)
+    params = convert_paella(sd, P_CFG)
+    sd2 = export_paella(params, P_CFG)
+    assert set(sd2.keys()) == set(sd.keys())
+    for k in sd:
+        np.testing.assert_array_equal(sd2[k], sd[k], err_msg=k)
+
+
+def test_vqgan_roundtrip_export_import():
+    from paella_tpu.convert import export_vqgan
+
+    sd = synth_vqgan_state_dict(V_CFG)
+    variables = convert_vqgan(sd, V_CFG)
+    sd2 = export_vqgan(variables, V_CFG)
+    assert set(sd2.keys()) == set(sd.keys())
+    for k in sd:
+        np.testing.assert_array_equal(sd2[k], sd[k], err_msg=k)

@@ -1,0 +1,82 @@
+"""PaellaPipeline end-to-end tests on tiny models: every generation capability."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from paella_tpu.config import PaellaConfig, SampleConfig, VQConfig
+from paella_tpu.codec import VQModel
+from paella_tpu.cond import T5Config, T5Encoder
+from paella_tpu.models import Paella, init_params
+from paella_tpu.pipeline import PaellaPipeline
+
+S_CFG = SampleConfig(steps=2)
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    t5_cfg = T5Config.tiny()
+    p_cfg = dataclasses.replace(PaellaConfig.tiny(), byt5_embd=t5_cfg.d_model)
+    model = Paella(p_cfg)
+    params = init_params(model, jax.random.PRNGKey(0), latent_hw=(16, 16))
+
+    vq = VQModel(VQConfig.tiny())
+    vq_vars = vq.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)))
+
+    t5 = T5Encoder(t5_cfg)
+    ids0 = jnp.zeros((1, 8), jnp.int32)
+    t5_params = t5.init(jax.random.PRNGKey(2), ids0, jnp.ones((1, 8), bool))["params"]
+    byt5_fn = jax.jit(lambda ids, mask: t5.apply({"params": t5_params}, ids, mask))
+
+    def clip_text_fn(prompts):
+        return jnp.zeros((len(prompts), p_cfg.clip_embd))
+
+    return PaellaPipeline(
+        model=model,
+        params=params,
+        vq=vq,
+        vq_vars=vq_vars,
+        byt5_encode_fn=byt5_fn,
+        clip_text_fn=clip_text_fn,
+    )
+
+
+def test_text_to_image(pipe):
+    img = pipe.text_to_image(["a corgi"], jax.random.PRNGKey(0), (64, 64), S_CFG)
+    assert img.shape == (1, 64, 64, 3)
+    assert float(img.min()) >= 0.0 and float(img.max()) <= 1.0
+
+
+def test_inpaint_and_outpaint(pipe):
+    base = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    keep = jnp.zeros((1, 16, 16), bool).at[:, :, :8].set(True)
+    img = pipe.inpaint(["x"], base, keep, jax.random.PRNGKey(2), S_CFG)
+    assert img.shape == (1, 64, 64, 3)
+
+    out = pipe.outpaint(["x"], base, (64, 128), (0, 32), jax.random.PRNGKey(3), S_CFG)
+    assert out.shape == (1, 64, 128, 3)
+
+
+def test_img2img_and_interpolate(pipe):
+    base = jax.random.uniform(jax.random.PRNGKey(4), (1, 64, 64, 3))
+    img = pipe.img2img(["y"], base, jax.random.PRNGKey(5), strength=0.5, config=S_CFG)
+    assert img.shape == (1, 64, 64, 3)
+
+    other = jax.random.uniform(jax.random.PRNGKey(6), (1, 64, 64, 3))
+    frames = pipe.interpolate(base[0], other[0], n=3)
+    assert frames.shape == (3, 64, 64, 3)
+    # endpoints reproduce the (re-quantized) inputs
+    ta = pipe.encode_image_tokens(base)
+    np.testing.assert_array_equal(
+        np.asarray(pipe.interpolate(base[0], other[0], n=3, decode=False)[0]), np.asarray(ta[0])
+    )
+
+
+def test_prompt_bucketing_stable_shapes(pipe):
+    """Different prompt lengths within a bucket must produce the same padded
+    shape (avoids per-prompt recompilation)."""
+    s1, m1 = pipe.encode_text(["short"])
+    s2, m2 = pipe.encode_text(["a somewhat longer prompt here"])
+    assert s1.shape[1] == s2.shape[1] == 64  # first bucket

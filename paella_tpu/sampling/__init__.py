@@ -1,6 +1,7 @@
 from .editing import build_cond_reweight, phrase_byte_span, reweight_for_phrase
 from .sampler import (
     Conditioning,
+    fast_key,
     interpolate_latents,
     merge_cfg_pair,
     outpaint_canvas,
@@ -10,6 +11,7 @@ from .sampler import (
 __all__ = [
     "Conditioning",
     "build_cond_reweight",
+    "fast_key",
     "interpolate_latents",
     "merge_cfg_pair",
     "outpaint_canvas",

@@ -55,6 +55,15 @@ class Conditioning:
         return self.byt5.shape[0]
 
 
+def fast_key(seed: int) -> Array:
+    """A PRNG key with the `rbg` implementation — strongly recommended for
+    sampling on TPU: threefry key derivation inside the sampling scan makes XLA
+    compilation pathological (observed: the compile service dies after ~40 min on
+    the 1B model; rbg compiles the identical program in seconds). Distributional
+    behavior is equivalent; determinism per (seed, topology) is preserved."""
+    return jax.random.key(seed, impl="rbg")
+
+
 def _ones_mask(b: int) -> Array:
     return jnp.ones((b,), bool)
 

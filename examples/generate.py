@@ -70,13 +70,13 @@ def main():
     args = ap.parse_args()
 
     from paella_tpu.config import SampleConfig
-    from paella_tpu.sampling import reweight_for_phrase
+    from paella_tpu.sampling import fast_key, reweight_for_phrase
     from paella_tpu.utils import save_image_grid
 
     pipe = build_pipeline(args)
     size = args.size or (256 if args.denoiser else 64)
     cfg = SampleConfig(steps=args.steps)
-    key = jax.random.PRNGKey(42)
+    key = fast_key(42)
 
     # 1. text-to-image
     t0 = time.perf_counter()
@@ -88,21 +88,21 @@ def main():
     # 2. inpaint the right half of that image
     f = pipe.vq.config.downscale
     keep = jnp.zeros((1, size // f, size // f), bool).at[:, :, : size // f // 2].set(True)
-    img2 = pipe.inpaint([args.prompt + ", sunset"], img, keep, jax.random.PRNGKey(1), cfg)
+    img2 = pipe.inpaint([args.prompt + ", sunset"], img, keep, fast_key(1), cfg)
     print("inpaint:", img2.shape)
     save_image_grid(f"{args.out}_inpaint.jpg", np.asarray(img2))
 
     # 3. outpaint onto a double-width canvas
-    img3 = pipe.outpaint([args.prompt], img, (size, size * 2), (0, size // 2), jax.random.PRNGKey(2), cfg)
+    img3 = pipe.outpaint([args.prompt], img, (size, size * 2), (0, size // 2), fast_key(2), cfg)
     print("outpaint:", img3.shape)
     save_image_grid(f"{args.out}_outpaint.jpg", np.asarray(img3))
 
     # 4. img2img at reduced strength
-    img4 = pipe.img2img([args.prompt + ", watercolor"], img, jax.random.PRNGKey(3), strength=0.6, config=cfg)
+    img4 = pipe.img2img([args.prompt + ", watercolor"], img, fast_key(3), strength=0.6, config=cfg)
     print("img2img:", img4.shape)
 
     # 5. latent interpolation between two samples
-    imgB = pipe.text_to_image([args.prompt + " at night"], jax.random.PRNGKey(4), (size, size), cfg)
+    imgB = pipe.text_to_image([args.prompt + " at night"], fast_key(4), (size, size), cfg)
     frames = pipe.interpolate(img[0], imgB[0], n=5)
     print("interpolate:", frames.shape)
     save_image_grid(f"{args.out}_interp.jpg", np.asarray(frames))
@@ -113,7 +113,7 @@ def main():
     from paella_tpu.cond.tokenizers import pad_bucket
 
     w = reweight_for_phrase(args.prompt, phrase, 3.0, pad_bucket(ids_len), has_clip=False)
-    img5 = pipe.text_to_image([args.prompt], jax.random.PRNGKey(5), (size, size), cfg,
+    img5 = pipe.text_to_image([args.prompt], fast_key(5), (size, size), cfg,
                               cond_reweight=jnp.asarray(np.concatenate([w, w], 0)))
     print("edited (boosted", repr(phrase), "):", img5.shape)
 

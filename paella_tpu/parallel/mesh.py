@@ -75,18 +75,61 @@ def fsdp_param_spec(path: tuple, param, fsdp_size: int, min_size: int = 2**14) -
     return P(*spec)
 
 
+def _path_str(path) -> str:
+    return "/".join(
+        str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+    )
+
+
+# Tensor-parallel rules for the denoiser: shard each matmul's PARALLEL dimension
+# over 'tp' (Megatron-style column/row split expressed as GSPMD annotations; XLA
+# inserts the all-reduces). Keyed by path suffixes. Kernel layouts are (in, out)
+# for Dense (a leading stacked axis appears inside nn.scan groups).
+_TP_COL = ("attention/q/kernel", "attention/k/kernel", "attention/v/kernel", "fc1/kernel")
+_TP_ROW = ("attention/o/kernel", "fc2/kernel")
+
+
+def tp_param_spec(path_str: str, param, tp_size: int) -> Optional[P]:
+    """PartitionSpec for tensor parallelism, or None if no rule applies."""
+    if tp_size <= 1:
+        return None
+    shape = getattr(param, "shape", ())
+    if len(shape) < 2:
+        return None
+
+    def spec_on(dim_from_end: int) -> Optional[P]:
+        d = len(shape) - 1 - dim_from_end
+        if shape[d] % tp_size:
+            return None
+        spec = [None] * len(shape)
+        spec[d] = "tp"
+        return P(*spec)
+
+    if any(path_str.endswith(s) for s in _TP_COL):
+        return spec_on(0)  # split output features (column parallel)
+    if any(path_str.endswith(s) for s in _TP_ROW):
+        return spec_on(1)  # split input features (row parallel)
+    return None
+
+
 def param_shardings(params, mesh: Mesh, min_size: int = 2**14):
-    """Pytree of NamedShardings for params under the mesh's fsdp axis."""
+    """Pytree of NamedShardings: tp rules first (attention/MLP kernels), then the
+    FSDP largest-divisible-axis rule over the remainder."""
     fsdp_size = mesh.shape.get("fsdp", 1)
+    tp_size = mesh.shape.get("tp", 1)
 
     def to_sharding(path, p):
+        ps = _path_str(path)
+        tp = tp_param_spec(ps, p, tp_size)
+        if tp is not None:
+            return NamedSharding(mesh, tp)
         return NamedSharding(mesh, fsdp_param_spec(path, p, fsdp_size, min_size))
 
     return jax.tree_util.tree_map_with_path(to_sharding, params)
 
 
 def shard_params(params, mesh: Mesh, min_size: int = 2**14):
-    """Place an existing (host/replicated) param pytree onto the mesh with FSDP
-    sharding."""
+    """Place an existing (host/replicated) param pytree onto the mesh with
+    tp + FSDP sharding."""
     shardings = param_shardings(params, mesh, min_size)
     return jax.tree_util.tree_map(jax.device_put, params, shardings)

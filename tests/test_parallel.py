@@ -97,3 +97,34 @@ def test_fsdp_train_step_matches_replicated():
     _, m_sh = jax.jit(step)(state_sh, vq_vars, batch_sh, null, rng)
 
     np.testing.assert_allclose(float(m_sh["loss"]), float(m_ref["loss"]), rtol=2e-4)
+
+
+def test_tp_param_specs():
+    from paella_tpu.parallel.mesh import tp_param_spec
+
+    mesh = make_mesh(dp=2, fsdp=2, tp=2)
+    # column-parallel: q kernel (in, out) -> out sharded
+    spec = tp_param_spec("down_1_0_2_A/attention/q/kernel", jnp.zeros((32, 32)), 2)
+    assert spec == P(None, "tp")
+    # row-parallel: o kernel -> in sharded
+    spec = tp_param_spec("up_1_rest/2_A/attention/o/kernel", jnp.zeros((1, 32, 32)), 2)
+    assert spec == P(None, "tp", None)
+    # non-matching path -> None
+    assert tp_param_spec("clf_conv/kernel", jnp.zeros((32, 64)), 2) is None
+    # indivisible -> None
+    assert tp_param_spec("x/fc1/kernel", jnp.zeros((32, 33)), 2) is None
+
+
+def test_tp_train_step_matches_replicated():
+    """dp x fsdp x tp sharded step must produce the same loss as unsharded."""
+    mesh = make_mesh(dp=2, fsdp=2, tp=2)
+    state, step, vq_vars, batch, null = _setup(mesh)
+    rng = jax.random.PRNGKey(3)
+    _, m_ref = jax.jit(step)(state, vq_vars, batch, null, rng)
+
+    sharded_params = shard_params(state.params, mesh, min_size=2**10)
+    state_sh = state.replace(params=sharded_params, opt_state=state.tx.init(sharded_params))
+    bsh = batch_sharding(mesh)
+    batch_sh = jax.tree_util.tree_map(lambda x: jax.device_put(x, bsh), batch)
+    _, m_sh = jax.jit(step)(state_sh, vq_vars, batch_sh, null, rng)
+    np.testing.assert_allclose(float(m_sh["loss"]), float(m_ref["loss"]), rtol=2e-4)

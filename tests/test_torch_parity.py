@@ -243,3 +243,69 @@ def test_vqgan_decode_matches_torch():
         np.asarray(ours).transpose(0, 3, 1, 2), theirs, rtol=5e-3, atol=5e-3
     )
     assert np.abs(theirs).max() > 1e-3
+
+
+def torch_vqgan_encode(sd_np, cfg, x_np):
+    """Encoder path: in_block -> down blocks -> 1x1 + BatchNorm (running stats,
+    eval mode) -> nearest-neighbor codebook indices."""
+    sd = {k: torch.from_numpy(np.asarray(v)) for k, v in sd_np.items()}
+    c_levels = [cfg.c_hidden // (2**i) for i in reversed(range(cfg.levels))]
+
+    def vq_res(x, p):
+        g = sd[f"{p}.gammas"]
+        c = x.shape[1]
+        h = ln2d(x) * (1 + g[0]) + g[1]
+        h = F.pad(h, (1, 1, 1, 1), mode="replicate")
+        h = F.conv2d(h, sd[f"{p}.depthwise.1.weight"], sd[f"{p}.depthwise.1.bias"], groups=c)
+        x = x + h * g[2]
+        h = ln2d(x) * (1 + g[3]) + g[4]
+        h = h.permute(0, 2, 3, 1)
+        h = F.linear(h, sd[f"{p}.channelwise.0.weight"], sd[f"{p}.channelwise.0.bias"])
+        h = F.gelu(h)
+        h = F.linear(h, sd[f"{p}.channelwise.2.weight"], sd[f"{p}.channelwise.2.bias"])
+        return x + h.permute(0, 3, 1, 2) * g[5]
+
+    x = torch.from_numpy(x_np).permute(0, 3, 1, 2)
+    h = F.pixel_unshuffle(x, 2)
+    h = F.conv2d(h, sd["in_block.1.weight"], sd["in_block.1.bias"])
+    j = 0
+    for i in range(cfg.levels):
+        if i > 0:
+            h = F.conv2d(h, sd[f"down_blocks.{j}.weight"], sd[f"down_blocks.{j}.bias"], stride=2, padding=1)
+            j += 1
+        h = vq_res(h, f"down_blocks.{j}")
+        j += 1
+    h = F.conv2d(h, sd[f"down_blocks.{j}.0.weight"])
+    h = F.batch_norm(
+        h,
+        sd[f"down_blocks.{j}.1.running_mean"],
+        sd[f"down_blocks.{j}.1.running_var"],
+        sd[f"down_blocks.{j}.1.weight"],
+        sd[f"down_blocks.{j}.1.bias"],
+        training=False,
+    )
+    z = h.permute(0, 2, 3, 1)  # channels-last for the lookup
+    cb = sd["vquantizer.codebook.weight"]
+    d = (z[..., None, :] - cb[None, None, None]).pow(2).sum(-1)
+    return d.argmin(-1).numpy()
+
+
+def test_vqgan_encode_matches_torch():
+    sd = synth_vqgan_state_dict(V_CFG)
+    rng = np.random.default_rng(11)
+    for k in list(sd):
+        if k.endswith("gammas"):
+            sd[k] = rng.standard_normal(6).astype(np.float32) * 0.3
+    # non-trivial BatchNorm running stats
+    j_final = max(int(k.split(".")[1]) for k in sd if k.startswith("down_blocks."))
+    sd[f"down_blocks.{j_final}.1.running_mean"] = rng.standard_normal(V_CFG.c_latent).astype(np.float32) * 0.1
+    sd[f"down_blocks.{j_final}.1.running_var"] = (1 + rng.uniform(0, 0.5, V_CFG.c_latent)).astype(np.float32)
+
+    x = rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    theirs = torch_vqgan_encode(sd, V_CFG, x)
+
+    model = VQModel(V_CFG)
+    variables = jax.tree_util.tree_map(jnp.asarray, convert_vqgan(sd, V_CFG))
+    _, _, ours, _ = model.apply(variables, jnp.asarray(x), method=VQModel.encode)
+    match = (np.asarray(ours) == theirs).mean()
+    assert match > 0.99, f"index agreement only {match:.3f}"

@@ -35,6 +35,7 @@ class PaellaConfig:
     self_attn: bool = True
     dtype: str = "float32"  # compute dtype; params are always float32
     remat: bool = False  # jax.checkpoint every block (training memory for FLOPs)
+    attention_impl: str = "xla"  # "xla" | "pallas" (fused VMEM-resident kernel)
 
     @property
     def compute_dtype(self):

@@ -62,6 +62,7 @@ class BlockGroup(nn.Module):
     self_attn: bool
     dtype: Any
     deterministic: bool = True
+    attention_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, r_embed, c_embed, cond_mask, cond_reweight):
@@ -86,6 +87,7 @@ class BlockGroup(nn.Module):
                     self_attn=self.self_attn,
                     dropout=self.dropout,
                     dtype=self.dtype,
+                    attention_impl=self.attention_impl,
                     name=name,
                 )(
                     x,
@@ -260,6 +262,7 @@ class Paella(nn.Module):
                         self_attn=cfg.self_attn,
                         dropout=cfg.dropout[i],
                         dtype=dtype,
+                        attention_impl=cfg.attention_impl,
                         name=name,
                     )(h, c_embed, cond_mask=cond_mask, cond_reweight=cond_reweight,
                       deterministic=deterministic)
@@ -297,6 +300,7 @@ class Paella(nn.Module):
                 self_attn=cfg.self_attn,
                 dtype=dtype,
                 deterministic=deterministic,
+                attention_impl=cfg.attention_impl,
                 name=f"{prefix}_{i}_rest",
             )
             h, _ = scanned(h, r_embed, c_embed, cond_mask, cond_reweight)

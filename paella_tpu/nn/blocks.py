@@ -162,6 +162,7 @@ class AttnBlock(nn.Module):
     self_attn: bool = True
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    attention_impl: str = "xla"  # "xla" | "pallas"
 
     @nn.compact
     def __call__(
@@ -199,8 +200,21 @@ class AttnBlock(nn.Module):
             pix_w = jnp.ones((b, n_pix if self.self_attn else 0), dtype=cw.dtype)
             reweight = jnp.concatenate([pix_w, cw], axis=-1)[:, None, None, :]
 
+        if self.attention_impl == "pallas":
+            from ..kernels.attention import fused_attention
+
+            attention_fn = fused_attention
+        else:
+            from .attention import dot_product_attention
+
+            attention_fn = dot_product_attention
         attn_out = MultiheadAttention(
-            self.c, self.nhead, dropout=self.dropout, dtype=self.dtype, name="attention"
+            self.c,
+            self.nhead,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            attention_fn=attention_fn,
+            name="attention",
         )(tokens, kv_full, kv_mask=kv_mask, reweight=reweight, deterministic=deterministic)
         return x + attn_out.reshape(b, h, w, c)
 

@@ -102,14 +102,24 @@ class SampleConfig:
     steps: int = 12
     renoise_steps: Optional[int] = None
     temperature: Tuple[float, float] = (0.7, 0.3)
-    cfg: Optional[Tuple[float, float]] = (8.0, 8.0)
+    # scalar cfg (the simple reference sampler's form, src/utils.py:35) or a
+    # (start, end) per-step schedule (src_distributed/utils.py:97); None disables
+    cfg: Optional[object] = (8.0, 8.0)
     t_start: float = 1.0
     t_end: float = 0.0
     sampling_conditional_steps: Optional[int] = None
 
     def resolved(self) -> "SampleConfig":
+        cfg = self.cfg
+        if isinstance(cfg, (int, float)):
+            cfg = (float(cfg), float(cfg))
+        temperature = self.temperature
+        if isinstance(temperature, (int, float)):
+            temperature = (float(temperature), float(temperature))
         return dataclasses.replace(
             self,
+            cfg=cfg,
+            temperature=temperature,
             renoise_steps=self.steps - 1 if self.renoise_steps is None else self.renoise_steps,
             sampling_conditional_steps=(
                 self.steps

@@ -19,3 +19,7 @@ __all__ = [
     "resize_shorter_side",
     "write_tar_shard",
 ]
+
+from .prefetch import prefetch_to_device  # noqa: E402
+
+__all__.append("prefetch_to_device")

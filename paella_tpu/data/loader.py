@@ -108,9 +108,17 @@ def iter_tar_samples(path: str, handler: str = "warn") -> Iterator[Dict[str, byt
 
 
 def decode_image(data: bytes) -> Optional[np.ndarray]:
-    """JPEG/PNG bytes -> float32 RGB HWC in [0,1]. Uses PIL when present (gated),
-    falling back to torchvision-free numpy paths is not possible for JPEG, so
-    missing PIL returns None (caller skips)."""
+    """JPEG/PNG bytes -> float32 RGB HWC in [0,1].
+
+    JPEGs go through the native C++ libjpeg decoder (paella_tpu.data.native)
+    when available; anything else (or a failed native build) uses PIL. Returns
+    None on undecodable data (caller skips, webdataset-style)."""
+    if data[:3] == b"\xff\xd8\xff":  # JPEG magic
+        from .native import decode_jpeg
+
+        img = decode_jpeg(data)
+        if img is not None:
+            return img
     try:
         from PIL import Image
     except ImportError:
@@ -124,7 +132,9 @@ def decode_image(data: bytes) -> Optional[np.ndarray]:
 
 def resize_shorter_side(img: np.ndarray, size: int) -> np.ndarray:
     """Bilinear resize so the shorter side == size (torchvision Resize semantics,
-    reference: src_distributed/utils.py:15)."""
+    reference: src_distributed/utils.py:15). Host-side only — this runs per
+    image in the input pipeline, so it must never dispatch to the accelerator.
+    Native C++ kernel when available, PIL otherwise."""
     h, w = img.shape[:2]
     if h < w:
         nh, nw = size, max(size, int(round(w * size / h)))
@@ -132,9 +142,16 @@ def resize_shorter_side(img: np.ndarray, size: int) -> np.ndarray:
         nh, nw = max(size, int(round(h * size / w))), size
     if (nh, nw) == (h, w):
         return img
-    import jax
 
-    return np.asarray(jax.image.resize(img, (nh, nw, img.shape[2]), method="bilinear"))
+    u8 = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    from .native import resize_bilinear
+
+    out = resize_bilinear(u8, nh, nw)
+    if out is None:
+        from PIL import Image
+
+        out = np.asarray(Image.fromarray(u8).resize((nw, nh), Image.BILINEAR))
+    return out.astype(np.float32) / 255.0
 
 
 def random_crop(img: np.ndarray, size: int, rng: random.Random) -> np.ndarray:

@@ -88,3 +88,54 @@ def test_synthetic_dataset():
     images, caps = next(it)
     assert images.shape == (3, 32, 32, 3)
     assert len(caps) == 3
+
+
+def test_prefetch_to_device():
+    import jax
+    from paella_tpu.data import prefetch_to_device
+
+    items = [np.ones((2, 4), np.float32) * i for i in range(5)]
+    out = list(prefetch_to_device(iter(items), size=2, transform=lambda x: x + 1))
+    assert len(out) == 5
+    assert isinstance(out[0], jax.Array)
+    np.testing.assert_allclose(np.asarray(out[3]), items[3] + 1)
+
+
+def test_native_extension_builds_and_matches_pil():
+    """The C++ data-path kernels must build and agree with PIL."""
+    pytest.importorskip("PIL")
+    import io
+    from PIL import Image
+    from paella_tpu.data.native import decode_jpeg, get_native, resize_bilinear
+
+    native = get_native()
+    assert native is not None, "native extension failed to build"
+
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 255, (60, 80, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG", quality=95)
+    data = buf.getvalue()
+
+    ours = decode_jpeg(data)
+    theirs = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"), np.float32) / 255.0
+    assert ours is not None and ours.shape == theirs.shape
+    # JPEG decoders may differ by a few LSBs (IDCT variants)
+    assert np.abs(ours - theirs).max() < 0.05
+
+    # resize parity with PIL bilinear on UPSCALE (PIL antialiases downscales;
+    # ours is point-sampled bilinear — identical convention when upscaling)
+    big_ours = resize_bilinear(arr, 120, 160)
+    big_pil = np.asarray(Image.fromarray(arr).resize((160, 120), Image.BILINEAR))
+    diff = np.abs(big_ours.astype(np.int16) - big_pil.astype(np.int16))
+    assert diff.mean() < 2.0 and big_ours.shape == (120, 160, 3)
+
+    # downscale sanity on a smooth gradient (antialias is a no-op there)
+    grad = np.tile(np.linspace(0, 255, 80, dtype=np.uint8)[None, :, None], (60, 1, 3))
+    small_ours = resize_bilinear(grad, 30, 40)
+    small_pil = np.asarray(Image.fromarray(grad).resize((40, 30), Image.BILINEAR))
+    diff = np.abs(small_ours.astype(np.int16) - small_pil.astype(np.int16))
+    assert diff.mean() < 2.0
+
+    # garbage input -> None, not a crash
+    assert decode_jpeg(b"\xff\xd8\xffgarbage") is None

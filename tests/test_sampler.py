@@ -129,3 +129,15 @@ def test_outpaint_canvas():
     assert canvas.shape == (1, 8, 8) and mask.shape == (1, 8, 8)
     np.testing.assert_array_equal(np.asarray(canvas[0, 2:6, 2:6]), 1)
     assert int(mask.sum()) == 16
+
+
+def test_scalar_cfg_and_conditional_steps(model_and_params):
+    """Scalar cfg (simple-sampler form, reference src/utils.py:35) and a
+    sampling_conditional_steps cutoff both run and produce valid grids."""
+    model, params = model_and_params
+    cond = make_cond(jax.random.PRNGKey(1))
+    uncond = make_cond(jax.random.PRNGKey(2))
+    cfg = SampleConfig(steps=3, cfg=6.0, sampling_conditional_steps=2)
+    out = sample(model, params, jax.random.PRNGKey(0), cond, (B, H, W), uncond, cfg)
+    assert out.shape == (B, H, W)
+    assert int(out.max()) < CFG.num_labels

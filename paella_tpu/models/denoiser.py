@@ -171,21 +171,23 @@ class Paella(nn.Module):
             )
             any_mask |= clip_mask is not None
         if clip_image is not None:
+            # multi-image conditioning (the reference's notebook variant,
+            # utils/modules.py:228-235): (B, K, clip_embd) -> K * clip_seq_len
+            # tokens; a single (B, clip_embd) image is the K=1 case.
+            imgs = clip_image if clip_image.ndim == 3 else clip_image[:, None, :]
+            k_imgs = imgs.shape[1]
             parts.append(
-                clip_image_mapper(clip_image.astype(cfg.compute_dtype)).reshape(
-                    b, cfg.clip_seq_len, cfg.c_cond
+                clip_image_mapper(imgs.astype(cfg.compute_dtype)).reshape(
+                    b, k_imgs * cfg.clip_seq_len, cfg.c_cond
                 )
             )
-            mask_parts.append(
-                jnp.broadcast_to(
-                    (
-                        clip_image_mask[:, None]
-                        if clip_image_mask is not None
-                        else jnp.ones((b, 1), bool)
-                    ),
-                    (b, cfg.clip_seq_len),
-                )
-            )
+            if clip_image_mask is not None:
+                # mask may be (B,) for all images or (B, K) per image
+                im = clip_image_mask if clip_image_mask.ndim == 2 else clip_image_mask[:, None]
+                im = jnp.broadcast_to(im, (b, k_imgs))
+                mask_parts.append(jnp.repeat(im, cfg.clip_seq_len, axis=1))
+            else:
+                mask_parts.append(jnp.ones((b, k_imgs * cfg.clip_seq_len), bool))
             any_mask |= clip_image_mask is not None
         seq = layer_norm(jnp.concatenate(parts, axis=1))
         mask = jnp.concatenate(mask_parts, axis=1) if any_mask else None

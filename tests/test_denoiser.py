@@ -155,3 +155,37 @@ def test_remat_matches_non_remat():
 
     g = jax.grad(loss)(params)
     assert np.isfinite(float(jax.tree_util.tree_reduce(lambda a, b: a + jnp.sum(b), g, 0.0)))
+
+
+def test_multi_image_clip_conditioning(model_and_params):
+    """The reference's notebook variant conditions on a LIST of CLIP images
+    (utils/modules.py:228-235): (B, K, clip_embd) must yield K*clip_seq_len
+    conditioning tokens, with K=1 equal to the single-image path."""
+    from tests._utils import assert_nontrivial, perturb
+
+    model, params = model_and_params
+    params = perturb(params, jax.random.PRNGKey(99))
+    b = 1
+    x = jax.random.randint(jax.random.PRNGKey(0), (b, 16, 16), 0, CFG.num_labels)
+    r = jnp.full((b,), 0.5)
+    byt5 = jax.random.normal(jax.random.PRNGKey(1), (b, 4, CFG.byt5_embd))
+    img = jax.random.normal(jax.random.PRNGKey(2), (b, CFG.clip_embd))
+
+    single = model.apply({"params": params}, x, r, byt5, None, img)
+    assert_nontrivial(single, "logits")
+    as_k1 = model.apply({"params": params}, x, r, byt5, None, img[:, None, :])
+    np.testing.assert_allclose(np.asarray(as_k1), np.asarray(single), rtol=1e-5, atol=1e-5)
+
+    # K=3 runs and differs from K=1
+    imgs = jax.random.normal(jax.random.PRNGKey(3), (b, 3, CFG.clip_embd))
+    multi = model.apply({"params": params}, x, r, byt5, None, imgs)
+    assert multi.shape == single.shape
+    assert not np.allclose(np.asarray(multi), np.asarray(single), atol=1e-3)
+
+    # masking images 2..3 off == passing only image 1
+    mask = jnp.array([[True, False, False]])
+    masked = model.apply(
+        {"params": params}, x, r, byt5, None, imgs, clip_image_mask=mask
+    )
+    only_first = model.apply({"params": params}, x, r, byt5, None, imgs[:, :1])
+    np.testing.assert_allclose(np.asarray(masked), np.asarray(only_first), rtol=1e-4, atol=1e-4)

@@ -50,8 +50,14 @@ def main():
     vq = VQModel(v_cfg)
 
     params = init_params(model, jax.random.PRNGKey(0), latent_hw=(64, 64))
+    # inference-time weights in bf16: halves HBM weight traffic, which dominates
+    # the per-step cost once the conv paths are efficient (148 -> 140 ms measured)
+    params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params)
     vq_vars = jax.jit(lambda kk: vq.init(kk, jnp.zeros((1, 256, 256, 3))))(
         jax.random.PRNGKey(1)
+    )
+    vq_vars = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, vq_vars
     )
     s_cfg = SampleConfig(steps=STEPS)
 

@@ -37,8 +37,12 @@ def main():
     p_cfg = dataclasses.replace(PaellaConfig.v1_byt5_xl(), dtype="bfloat16")
     model = Paella(p_cfg)
     params = init_params(model, jax.random.PRNGKey(0), latent_hw=(64, 64))
+    params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params)
     vq = VQModel(dataclasses.replace(VQConfig(), dtype="bfloat16"))
     vq_vars = jax.jit(lambda k: vq.init(k, jnp.zeros((1, 256, 256, 3))))(jax.random.PRNGKey(1))
+    vq_vars = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, vq_vars
+    )
 
     k = jax.random.PRNGKey(2)
     cond = Conditioning(

@@ -157,3 +157,20 @@ def test_clip_vision_matches_hf():
         )
     )
     np.testing.assert_allclose(ours, theirs, rtol=2e-3, atol=2e-3)
+
+
+def test_byt5_tokenizer_matches_hf_exactly():
+    """Byte tokenizer must agree with HF's ByT5Tokenizer (constructible offline)."""
+    from transformers import ByT5Tokenizer
+
+    tok = ByT5Tokenizer()
+    prompts = ["hi", "héllo wörld", "", "a" * 50]
+    theirs = tok(prompts, padding="longest")
+    ours_ids, ours_mask = byt5_batch_encode(prompts, max_length=None)
+    assert ours_ids.tolist() == theirs["input_ids"]
+    assert ours_mask.astype(int).tolist() == theirs["attention_mask"]
+
+    # truncation semantics
+    theirs_t = tok(["x" * 100], max_length=10, truncation=True)["input_ids"][0]
+    ours_t = byt5_encode("x" * 100, max_length=10)
+    assert ours_t == theirs_t

@@ -1,0 +1,75 @@
+"""Golden-value regression tests: freeze tiny-model outputs under fixed seeds so
+future refactors (kernels, layout changes, scan rewrites) can't silently shift
+numerics. Regenerate deliberately with:  python tests/test_goldens.py
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from paella_tpu.config import PaellaConfig, SampleConfig, VQConfig
+from paella_tpu.codec import VQModel
+from paella_tpu.models import Paella, init_params
+from paella_tpu.sampling import Conditioning, sample
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "goldens", "tiny_v1.npz")
+
+P_CFG = PaellaConfig.tiny()
+V_CFG = VQConfig.tiny()
+
+
+def compute_outputs():
+    model = Paella(P_CFG)
+    params = init_params(model, jax.random.PRNGKey(0), latent_hw=(16, 16))
+    # perturb so the zero-init head doesn't make logits trivially zero
+    from tests._utils import perturb
+
+    params = perturb(params, jax.random.PRNGKey(99))
+
+    x = jax.random.randint(jax.random.PRNGKey(1), (1, 16, 16), 0, P_CFG.num_labels)
+    r = jnp.full((1,), 0.4)
+    byt5 = jax.random.normal(jax.random.PRNGKey(2), (1, 5, P_CFG.byt5_embd))
+    clip = jax.random.normal(jax.random.PRNGKey(3), (1, P_CFG.clip_embd))
+    logits = model.apply({"params": params}, x, r, byt5, clip)
+
+    tokens = sample(
+        model,
+        params,
+        jax.random.PRNGKey(4),
+        Conditioning(byt5=byt5, clip=clip),
+        (1, 16, 16),
+        None,
+        SampleConfig(steps=3, cfg=None),
+    )
+
+    vq = VQModel(V_CFG)
+    vq_vars = vq.init(jax.random.PRNGKey(5), jnp.zeros((1, 32, 32, 3)))
+    img_in = jax.random.uniform(jax.random.PRNGKey(6), (1, 32, 32, 3))
+    _, _, indices, _ = vq.apply(vq_vars, img_in, method=VQModel.encode)
+    decoded = vq.apply(vq_vars, indices, method=VQModel.decode_indices)
+
+    return {
+        "logits": np.asarray(logits, np.float32),
+        "sampled_tokens": np.asarray(tokens, np.int32),
+        "vq_indices": np.asarray(indices, np.int32),
+        "vq_decoded": np.asarray(decoded, np.float32),
+    }
+
+
+def test_outputs_match_goldens():
+    assert os.path.exists(GOLDEN), "goldens missing — run: python tests/test_goldens.py"
+    got = compute_outputs()
+    with np.load(GOLDEN) as ref:
+        np.testing.assert_allclose(got["logits"], ref["logits"], rtol=5e-4, atol=5e-4)
+        np.testing.assert_allclose(got["vq_decoded"], ref["vq_decoded"], rtol=5e-4, atol=5e-4)
+        # integer outputs: allow rare flips from float reductions at argmin/argmax
+        # boundaries, but require near-total agreement
+        assert (got["vq_indices"] == ref["vq_indices"]).mean() > 0.995
+        assert (got["sampled_tokens"] == ref["sampled_tokens"]).mean() > 0.98
+
+
+if __name__ == "__main__":
+    os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
+    np.savez_compressed(GOLDEN, **compute_outputs())
+    print(f"wrote {GOLDEN}")

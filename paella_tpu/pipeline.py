@@ -94,11 +94,20 @@ class PaellaPipeline:
         config: SampleConfig = SampleConfig(),
         images_for_clip: Optional[Array] = None,
         cond_reweight: Optional[Array] = None,
+        negative_prompts: Optional[Sequence[str]] = None,
     ) -> Array:
-        """Full text-to-image: returns (B, H, W, 3) in [0, 1] (clipped)."""
+        """Full text-to-image: returns (B, H, W, 3) in [0, 1] (clipped).
+
+        negative_prompts: CFG steers away from these instead of the empty prompt
+        (the unconditional branch IS the negative direction in the reference's
+        guidance mix, src_distributed/utils.py:117)."""
         b = len(prompts)
         cond = self.conditioning(prompts, images_for_clip)
-        uncond = self.null_conditioning(b)
+        uncond = (
+            self.conditioning(list(negative_prompts))
+            if negative_prompts is not None
+            else self.null_conditioning(b)
+        )
         h, w = self._latent_hw(image_hw)
         tokens = sample(
             self.model,

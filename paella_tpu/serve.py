@@ -1,0 +1,140 @@
+"""Minimal HTTP serving layer around PaellaPipeline.
+
+The reference has no serving story (its inference lives in a notebook,
+readme.md:39-41). This module provides one: a dependency-free (stdlib http)
+server exposing text-to-image over JSON -> PNG, with per-request seeds, steps,
+CFG, and negative prompts. The pipeline's jitted programs are compiled once at
+startup (warmup) and reused; identical prompt-length buckets reuse the same
+XLA program, so steady-state latency is the bench.py number.
+
+    POST /generate  {"prompt": "...", "steps": 8, "seed": 1,
+                     "negative_prompt": "...", "cfg": 8.0,
+                     "width": 256, "height": 256}        -> image/png
+    GET  /healthz                                        -> 200 ok
+
+For production-scale serving, run one process per chip behind any HTTP load
+balancer; requests are independent (no cross-request state beyond the compiled
+programs).
+"""
+from __future__ import annotations
+
+import dataclasses
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from .config import SampleConfig
+from .pipeline import PaellaPipeline
+from .sampling import fast_key
+
+
+def _png_bytes(image: np.ndarray) -> bytes:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray((np.clip(image, 0, 1) * 255).astype(np.uint8)).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+class PaellaServer:
+    """Wraps a PaellaPipeline behind a threaded HTTP server."""
+
+    def __init__(self, pipeline: PaellaPipeline, host: str = "0.0.0.0", port: int = 8000):
+        self.pipeline = pipeline
+        self.host = host
+        self.port = port
+        self._lock = threading.Lock()  # one generation at a time per chip
+        self._server: Optional[ThreadingHTTPServer] = None
+
+    def generate(self, req: dict) -> bytes:
+        prompt = req.get("prompt", "")
+        steps = int(req.get("steps", 8))
+        seed = int(req.get("seed", int(time.time() * 1e3) % (2**31)))
+        negative = req.get("negative_prompt")
+        cfg_w = req.get("cfg", 8.0)
+        h = int(req.get("height", 256))
+        w = int(req.get("width", 256))
+        cfg = SampleConfig(steps=steps, cfg=cfg_w)
+        with self._lock:
+            img = self.pipeline.text_to_image(
+                [prompt],
+                fast_key(seed),
+                (h, w),
+                cfg,
+                negative_prompts=[negative] if negative else None,
+            )
+        return _png_bytes(np.asarray(img[0]))
+
+    def warmup(self, image_hw=(256, 256), steps: int = 8):
+        """Compile the serving programs before accepting traffic."""
+        self.generate({"prompt": "warmup", "steps": steps, "seed": 0,
+                       "height": image_hw[0], "width": image_hw[1]})
+
+    def _handler(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):  # quiet
+                pass
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    body = b"ok"
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/plain")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                else:
+                    self.send_error(404)
+
+            def do_POST(self):
+                if self.path != "/generate":
+                    self.send_error(404)
+                    return
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(length) or b"{}")
+                    t0 = time.perf_counter()
+                    png = server.generate(req)
+                    dt = time.perf_counter() - t0
+                    self.send_response(200)
+                    self.send_header("Content-Type", "image/png")
+                    self.send_header("Content-Length", str(len(png)))
+                    self.send_header("X-Generation-Seconds", f"{dt:.3f}")
+                    self.end_headers()
+                    self.wfile.write(png)
+                except (ValueError, KeyError, json.JSONDecodeError) as e:
+                    msg = json.dumps({"error": str(e)}).encode()
+                    self.send_response(400)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(msg)))
+                    self.end_headers()
+                    self.wfile.write(msg)
+
+        return Handler
+
+    def start(self) -> ThreadingHTTPServer:
+        self._server = ThreadingHTTPServer((self.host, self.port), self._handler())
+        thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+        thread.start()
+        return self._server
+
+    def stop(self):
+        if self._server is not None:
+            self._server.shutdown()
+            self._server.server_close()
+
+    def serve_forever(self):
+        self.start()
+        print(f"paella-tpu serving on http://{self.host}:{self.port}")
+        try:
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            self.stop()

@@ -128,3 +128,32 @@ def test_tp_train_step_matches_replicated():
     batch_sh = jax.tree_util.tree_map(lambda x: jax.device_put(x, bsh), batch)
     _, m_sh = jax.jit(step)(state_sh, vq_vars, batch_sh, null, rng)
     np.testing.assert_allclose(float(m_sh["loss"]), float(m_ref["loss"]), rtol=2e-4)
+
+
+def test_sharded_batch_inference():
+    """Multi-chip inference: sampler over a dp-sharded batch of conditioning."""
+    from paella_tpu.config import SampleConfig
+    from paella_tpu.sampling import Conditioning, sample
+
+    mesh = make_mesh()  # dp=8
+    model = Paella(P_CFG)
+    from paella_tpu.models import init_params
+
+    params = init_params(model, jax.random.PRNGKey(0), latent_hw=(16, 16))
+    b = 8
+    bsh = batch_sharding(mesh)
+    cond = Conditioning(
+        byt5=jax.device_put(jax.random.normal(jax.random.PRNGKey(1), (b, 4, P_CFG.byt5_embd)), bsh),
+        clip=jax.device_put(jax.random.normal(jax.random.PRNGKey(2), (b, P_CFG.clip_embd)), bsh),
+    )
+    uncond = Conditioning(
+        byt5=jax.device_put(jnp.zeros((b, 2, P_CFG.byt5_embd)), bsh),
+        clip=jax.device_put(jnp.zeros((b, P_CFG.clip_embd)), bsh),
+    )
+    with mesh:
+        out = sample(
+            model, params, jax.random.PRNGKey(3), cond, (b, 16, 16), uncond,
+            SampleConfig(steps=2),
+        )
+    assert out.shape == (b, 16, 16)
+    assert int(out.max()) < P_CFG.num_labels

@@ -80,3 +80,10 @@ def test_prompt_bucketing_stable_shapes(pipe):
     s1, m1 = pipe.encode_text(["short"])
     s2, m2 = pipe.encode_text(["a somewhat longer prompt here"])
     assert s1.shape[1] == s2.shape[1] == 64  # first bucket
+
+
+def test_negative_prompts(pipe):
+    img = pipe.text_to_image(
+        ["a corgi"], jax.random.PRNGKey(7), (64, 64), S_CFG, negative_prompts=["blurry"]
+    )
+    assert img.shape == (1, 64, 64, 3)

@@ -1,0 +1,90 @@
+"""Serving layer test: start the HTTP server on a tiny pipeline and drive it
+through a real socket."""
+import dataclasses
+import json
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from paella_tpu.config import PaellaConfig, VQConfig
+from paella_tpu.codec import VQModel
+from paella_tpu.cond import T5Config, T5Encoder
+from paella_tpu.models import Paella, init_params
+from paella_tpu.pipeline import PaellaPipeline
+from paella_tpu.serve import PaellaServer
+
+
+@pytest.fixture(scope="module")
+def server():
+    t5_cfg = T5Config.tiny()
+    p_cfg = dataclasses.replace(PaellaConfig.tiny(), byt5_embd=t5_cfg.d_model)
+    model = Paella(p_cfg)
+    params = init_params(model, jax.random.PRNGKey(0), latent_hw=(16, 16))
+    vq = VQModel(VQConfig.tiny())
+    vq_vars = vq.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)))
+    t5 = T5Encoder(t5_cfg)
+    ids0 = jnp.zeros((1, 8), jnp.int32)
+    t5_params = t5.init(jax.random.PRNGKey(2), ids0, jnp.ones((1, 8), bool))["params"]
+    pipe = PaellaPipeline(
+        model=model,
+        params=params,
+        vq=vq,
+        vq_vars=vq_vars,
+        byt5_encode_fn=jax.jit(lambda i, m: t5.apply({"params": t5_params}, i, m)),
+    )
+    srv = PaellaServer(pipe, host="127.0.0.1", port=0)
+    httpd = srv.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    srv.stop()
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(f"{server}/healthz", timeout=30) as r:
+        assert r.status == 200
+        assert r.read() == b"ok"
+
+
+def test_generate_png(server):
+    pytest.importorskip("PIL")
+    body = json.dumps(
+        {"prompt": "a corgi", "steps": 2, "seed": 7, "height": 64, "width": 64}
+    ).encode()
+    req = urllib.request.Request(
+        f"{server}/generate", data=body, headers={"Content-Type": "application/json"}
+    )
+    with urllib.request.urlopen(req, timeout=300) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"] == "image/png"
+        assert float(r.headers["X-Generation-Seconds"]) > 0
+        png = r.read()
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    import io
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(png))
+    assert img.size == (64, 64)
+
+    # same seed -> identical image; different seed -> different image
+    with urllib.request.urlopen(req, timeout=300) as r:
+        assert r.read() == png
+    body2 = json.dumps(
+        {"prompt": "a corgi", "steps": 2, "seed": 8, "height": 64, "width": 64}
+    ).encode()
+    req2 = urllib.request.Request(
+        f"{server}/generate", data=body2, headers={"Content-Type": "application/json"}
+    )
+    with urllib.request.urlopen(req2, timeout=300) as r:
+        assert r.read() != png
+
+
+def test_bad_request(server):
+    req = urllib.request.Request(
+        f"{server}/generate", data=b"{not json", headers={"Content-Type": "application/json"}
+    )
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400

@@ -10,15 +10,14 @@ batch_stats and the discriminator's power-iteration state through the step.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from flax.core import freeze, unfreeze
 
-from ..config import VQConfig
+
 from .vqgan import Discriminator, VQModel
 
 Array = jax.Array

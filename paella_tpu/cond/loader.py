@@ -26,7 +26,7 @@ from .clip import (
     convert_open_clip_vision,
 )
 from .t5 import T5Config, T5Encoder, convert_t5_encoder
-from .tokenizers import byt5_batch_encode, pad_bucket
+
 
 Array = jax.Array
 

@@ -6,7 +6,7 @@ pins every layout rule without needing the released checkpoints.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping
+from typing import Dict, Mapping
 
 import numpy as np
 

@@ -12,7 +12,6 @@ import subprocess
 import sys
 import sysconfig
 import threading
-from typing import Optional
 
 _lock = threading.Lock()
 _native = None

@@ -12,7 +12,6 @@ kernel_init arguments at the model level.
 """
 from __future__ import annotations
 
-import math
 from typing import Optional, Tuple
 
 import jax

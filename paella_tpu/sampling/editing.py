@@ -14,10 +14,10 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Tuple
 
-import jax.numpy as jnp
+
 import numpy as np
 
-from ..cond.tokenizers import BYT5_OFFSET
+
 
 
 def build_cond_reweight(

@@ -18,7 +18,6 @@ programs).
 """
 from __future__ import annotations
 
-import dataclasses
 import io
 import json
 import threading

@@ -18,8 +18,8 @@ TPU-native replacement for the reference's distributed trainer
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any, Optional
+
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -18,8 +18,6 @@ from typing import Optional, Sequence, Tuple
 import numpy as np
 
 
-
-
 def build_cond_reweight(
     byt5_len: int,
     spans: Sequence[Tuple[int, int, float]],

@@ -9,7 +9,13 @@ from .clip import (
     convert_open_clip_vision,
 )
 from .t5 import T5Config, T5Encoder, convert_t5_encoder
-from .tokenizers import byt5_batch_encode, byt5_decode, byt5_encode, pad_bucket
+from .tokenizers import (
+    CLIPTokenizer,
+    byt5_batch_encode,
+    byt5_decode,
+    byt5_encode,
+    pad_bucket,
+)
 
 __all__ = [
     "CLIPTextConfig",
@@ -23,6 +29,7 @@ __all__ = [
     "T5Config",
     "T5Encoder",
     "convert_t5_encoder",
+    "CLIPTokenizer",
     "byt5_batch_encode",
     "byt5_decode",
     "byt5_encode",

@@ -26,6 +26,7 @@ from .clip import (
     convert_open_clip_vision,
 )
 from .t5 import T5Config, T5Encoder, convert_t5_encoder
+from .tokenizers import CLIPTokenizer
 
 
 Array = jax.Array
@@ -72,11 +73,15 @@ def load_open_clip(
     text_cfg: CLIPTextConfig = CLIPTextConfig.vit_h_14(),
     vision_cfg: CLIPVisionConfig = CLIPVisionConfig.vit_h_14(),
     tokenizer: Optional[Callable[[Sequence[str]], np.ndarray]] = None,
+    bpe_path: Optional[str] = None,
 ) -> Tuple[Callable, Callable]:
     """Converted open_clip checkpoint -> (text_encode(prompts), image_encode(imgs)).
 
-    `tokenizer` maps prompts -> (B, 77) int ids (open_clip BPE). If None, the
-    open_clip package's tokenizer is used when importable.
+    Tokenization is native (cond/tokenizers.py::CLIPTokenizer): pass `bpe_path`
+    pointing at the standard `bpe_simple_vocab_16e6.txt.gz` merge table (data,
+    shipped with every CLIP distribution — this environment has zero egress so
+    it cannot be bundled). Alternatively pass `tokenizer` (prompts -> (B,77)
+    ids) to override, e.g. open_clip's own tokenizer for A/B checks.
     """
     from ..convert.torch_import import load_torch_state_dict
 
@@ -87,16 +92,13 @@ def load_open_clip(
     vision_model = CLIPVisionEncoder(vision_cfg)
 
     if tokenizer is None:
-        try:
-            import open_clip
-
-            _tok = open_clip.get_tokenizer("ViT-H-14")
-            tokenizer = lambda prompts: np.asarray(_tok(list(prompts)))
-        except ImportError as e:
-            raise ImportError(
-                "no CLIP tokenizer: pass tokenizer= (prompts -> (B,77) ids); "
-                "open_clip is not installed"
-            ) from e
+        if bpe_path is None:
+            raise ValueError(
+                "no CLIP tokenizer: pass bpe_path= (the bpe_simple_vocab_16e6"
+                ".txt.gz merge table) for the native BPE, or tokenizer= "
+                "(prompts -> (B,77) ids)"
+            )
+        tokenizer = CLIPTokenizer(bpe_path)
 
     @jax.jit
     def _encode_text_ids(ids: Array) -> Array:

@@ -180,42 +180,46 @@ def sample(
 
     merged = merge_cfg_pair(conditioning, unconditional) if do_cfg else conditioning
 
-    def step(carry, inputs):
-        sampled, key = carry
-        i, t_curr, t_next, temp, cfg_w = inputs
-        key, k_cat, k_noise = jax.random.split(key, 3)
-        t = jnp.full((b,), t_curr, jnp.float32)
+    def make_step(with_cfg: bool):
+        def step(carry, inputs):
+            sampled, key = carry
+            i, t_curr, t_next, temp, cfg_w = inputs
+            key, k_cat, k_noise = jax.random.split(key, 3)
+            t = jnp.full((b,), t_curr, jnp.float32)
 
-        if do_cfg:
-            logits2 = _apply_model(
-                model,
-                params,
-                jnp.concatenate([sampled, sampled], axis=0),
-                jnp.concatenate([t, t], axis=0),
-                merged,
-                cond_reweight=cond_reweight,
-            )
-            logits_c, logits_u = jnp.split(logits2.astype(jnp.float32), 2, axis=0)
-            # reference mix: logits*cfg + uncond*(1-cfg) (src_distributed/utils.py:117)
-            mixed = logits_c * cfg_w + logits_u * (1.0 - cfg_w)
-            use_cfg = i < cfg.sampling_conditional_steps
-            logits = jnp.where(use_cfg, mixed, logits_c)
-        else:
-            logits = _apply_model(
-                model, params, sampled, t, merged, cond_reweight=cond_reweight
-            ).astype(jnp.float32)
+            if with_cfg:
+                logits2 = _apply_model(
+                    model,
+                    params,
+                    jnp.concatenate([sampled, sampled], axis=0),
+                    jnp.concatenate([t, t], axis=0),
+                    merged,
+                    cond_reweight=cond_reweight,
+                )
+                logits_c, logits_u = jnp.split(logits2.astype(jnp.float32), 2, axis=0)
+                # reference mix: logits*cfg + uncond*(1-cfg) (src_distributed/utils.py:117)
+                logits = logits_c * cfg_w + logits_u * (1.0 - cfg_w)
+            else:
+                # past sampling_conditional_steps the reference runs ONLY the
+                # conditional forward (src_distributed/utils.py:116) — so does
+                # this branch (batch B, conditional conditioning only).
+                logits = _apply_model(
+                    model, params, sampled, t, conditioning, cond_reweight=cond_reweight
+                ).astype(jnp.float32)
 
-        # multinomial(softmax(logits/T)) == categorical(logits/T)
-        new_tokens = jax.random.categorical(k_cat, logits / temp, axis=-1).astype(jnp.int32)
+            # multinomial(softmax(logits/T)) == categorical(logits/T)
+            new_tokens = jax.random.categorical(k_cat, logits / temp, axis=-1).astype(jnp.int32)
 
-        # renoise toward the SAME init_noise (src_distributed/utils.py:123-125)
-        t_next_b = jnp.full((b,), t_next, jnp.float32)
-        renoised, _ = add_noise(k_noise, new_tokens, t_next_b, num_labels, random_x=init_noise)
-        new_tokens = jnp.where(i < cfg.renoise_steps, renoised, new_tokens)
+            # renoise toward the SAME init_noise (src_distributed/utils.py:123-125)
+            t_next_b = jnp.full((b,), t_next, jnp.float32)
+            renoised, _ = add_noise(k_noise, new_tokens, t_next_b, num_labels, random_x=init_noise)
+            new_tokens = jnp.where(i < cfg.renoise_steps, renoised, new_tokens)
 
-        if fixed_mask is not None:
-            new_tokens = jnp.where(fixed_mask, fixed_tokens, new_tokens)
-        return (new_tokens, key), None
+            if fixed_mask is not None:
+                new_tokens = jnp.where(fixed_mask, fixed_tokens, new_tokens)
+            return (new_tokens, key), None
+
+        return step
 
     xs = (
         jnp.arange(cfg.steps),
@@ -224,7 +228,22 @@ def sample(
         temperatures,
         cfgs,
     )
-    (sampled, _), _ = jax.lax.scan(step, (sampled, key), xs)
+    # sampling_conditional_steps is static, so the schedule splits into a CFG
+    # phase and a cond-only phase of static lengths: the uncond forward is never
+    # computed-and-discarded (the reference likewise skips it,
+    # src_distributed/utils.py:116). With the default cutoff (== steps) this is
+    # one scan, identical to before.
+    n_cfg = min(cfg.sampling_conditional_steps, cfg.steps) if do_cfg else 0
+    carry = (sampled, key)
+    if n_cfg > 0:
+        carry, _ = jax.lax.scan(
+            make_step(True), carry, jax.tree_util.tree_map(lambda a: a[:n_cfg], xs)
+        )
+    if n_cfg < cfg.steps:
+        carry, _ = jax.lax.scan(
+            make_step(False), carry, jax.tree_util.tree_map(lambda a: a[n_cfg:], xs)
+        )
+    (sampled, _) = carry
     return sampled
 
 

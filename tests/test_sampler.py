@@ -141,3 +141,27 @@ def test_scalar_cfg_and_conditional_steps(model_and_params):
     out = sample(model, params, jax.random.PRNGKey(0), cond, (B, H, W), uncond, cfg)
     assert out.shape == (B, H, W)
     assert int(out.max()) < CFG.num_labels
+
+
+def test_conditional_steps_cutoff_equivalence(model_and_params):
+    """The cutoff splits the scan into a CFG phase and a cond-only phase (the
+    uncond forward is skipped, as in src_distributed/utils.py:116). With cfg
+    weight 1.0 the mixed logits equal the conditional logits, so ANY cutoff must
+    give bit-identical samples — this pins RNG threading and the cond-only
+    forward's equivalence to the cond half of the merged batch."""
+    from tests._utils import perturb
+
+    model, params = model_and_params
+    params = perturb(params, jax.random.PRNGKey(99))
+    cond = make_cond(jax.random.PRNGKey(1), with_image=True)
+    uncond = make_cond(jax.random.PRNGKey(2), with_image=False)
+    key = jax.random.PRNGKey(7)
+    full = sample(
+        model, params, key, cond, (B, H, W), uncond,
+        SampleConfig(steps=3, cfg=1.0, sampling_conditional_steps=3),
+    )
+    cut = sample(
+        model, params, key, cond, (B, H, W), uncond,
+        SampleConfig(steps=3, cfg=1.0, sampling_conditional_steps=1),
+    )
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(cut))

@@ -140,43 +140,104 @@ def run_training(
             if step % driver_cfg.eval_every == 0 or step == driver_cfg.total_steps:
                 ckpt.save(step, state)
                 if sample_eval:
+                    eval_images, eval_captions = next(data_iter)
                     _eval_grid(
-                        model, state.params, vq, vq_vars, encode_batch, driver_cfg, step, workdir
+                        model, state.params, vq, vq_vars, encode_batch, driver_cfg,
+                        step, workdir, images=eval_images, captions=eval_captions,
+                        logger=logger,
                     )
     ckpt.wait()
     logger.close()
     return state
 
 
-def _eval_grid(model, params, vq, vq_vars, encode_batch, driver_cfg, step, workdir):
-    """Sample an eval image grid (the reference's per-checkpoint collage,
-    src_distributed/train.py:140-180)."""
+def _eval_grid(
+    model, params, vq, vq_vars, encode_batch, driver_cfg, step, workdir,
+    images=None, captions=None, logger=None,
+):
+    """The reference's per-checkpoint eval collage (src_distributed/train.py:140-183):
+    five rows — originals / noised inputs / single-forward soft-argmax
+    reconstruction / sampled (with CLIP image conditioning) / sampled without it
+    — written as one jpg, plus a wandb image table when logging is wired.
+
+    With no `images` supplied falls back to sampling driver_cfg.eval_prompts
+    only (the two sampled rows). The reference reconstructs the previous TRAIN
+    batch's noised latents against the NEW eval batch's embeddings (a latent
+    mismatch); here all rows use the same eval batch.
+    """
+    from ..models.noise import add_noise
     from ..utils.logging import save_image_grid
 
-    prompts = list(driver_cfg.eval_prompts)
-    b = len(prompts)
-    dummy_images = np.zeros((b, 256, 256, 3), np.float32)
-    batch = encode_batch(dummy_images, prompts)
-    uncond_batch = encode_batch(dummy_images, [""] * b)
-    cond = Conditioning(byt5=batch.byt5, byt5_mask=batch.byt5_mask, clip=batch.clip)
+    if images is None:
+        captions = list(driver_cfg.eval_prompts)
+        images = np.zeros((len(captions), 256, 256, 3), np.float32)
+        with_diag_rows = False
+    else:
+        captions = list(captions)
+        with_diag_rows = True
+    b, res = len(captions), images.shape[1]
+
+    batch = encode_batch(np.asarray(images, np.float32), captions)
+    uncond_batch = encode_batch(np.zeros_like(np.asarray(images, np.float32)), [""] * b)
+    cond = Conditioning(
+        byt5=batch.byt5, byt5_mask=batch.byt5_mask, clip=batch.clip,
+        clip_image=batch.clip_image if with_diag_rows else None,
+    )
+    cond_noimg = Conditioning(byt5=batch.byt5, byt5_mask=batch.byt5_mask, clip=batch.clip)
     uncond = Conditioning(
         byt5=uncond_batch.byt5, byt5_mask=uncond_batch.byt5_mask, clip=uncond_batch.clip
     )
+
     f = vq.config.downscale
-    latent = (b, 256 // f, 256 // f)
-    tokens = sample(
-        model,
-        params,
-        jax.random.PRNGKey(step),
-        cond,
-        latent,
-        uncond,
-        SampleConfig(steps=driver_cfg.eval_steps),
-    )
-    images = vq.apply(vq_vars, tokens, method=VQModel.decode_indices)
+    latent = (b, res // f, res // f)
+    s_cfg = SampleConfig(steps=driver_cfg.eval_steps)
+    key = jax.random.PRNGKey(step)
+
+    rows, names = [], []
+    table = {}
+    if with_diag_rows:
+        k_t, k_noise = jax.random.split(jax.random.fold_in(key, 1))
+        # originals + noised + argmax-reconstruction (the cheapest training
+        # sanity signal: one forward, soft-argmax through the codebook and
+        # decode — reference: src_distributed/train.py:155-157)
+        latents = vq.apply(vq_vars, jnp.asarray(images), method=VQModel.encode)[2]
+        t = jnp.clip(1.0 - jax.random.uniform(k_t, (b,)) + 0.001, 0.001, 1.0)
+        noised, _ = add_noise(k_noise, latents, t, model.config.num_labels)
+        logits = model.apply(
+            {"params": params}, noised, t, batch.byt5, batch.clip, batch.clip_image,
+            byt5_mask=batch.byt5_mask, deterministic=True,
+        )
+        codebook = vq_vars["params"]["vquantizer"]["codebook"]
+        soft = jax.nn.softmax(logits.astype(jnp.float32) / 0.1, axis=-1) @ codebook
+        from ..codec.quantize import codebook_lookup
+
+        pred_tokens = codebook_lookup(soft, codebook)
+        noised_img = vq.apply(vq_vars, noised, method=VQModel.decode_indices)
+        pred_img = vq.apply(vq_vars, pred_tokens, method=VQModel.decode_indices)
+        rows += [np.asarray(images), np.asarray(noised_img), np.asarray(pred_img)]
+        names += ["orig", "noised", "reconstructed"]
+
+    tokens = sample(model, params, key, cond, latent, uncond, s_cfg)
+    sampled = np.asarray(vq.apply(vq_vars, tokens, method=VQModel.decode_indices))
+    rows.append(sampled)
+    names.append("sampled")
+    if with_diag_rows:
+        tokens_noimg = sample(model, params, key, cond_noimg, latent, uncond, s_cfg)
+        sampled_noimg = np.asarray(
+            vq.apply(vq_vars, tokens_noimg, method=VQModel.decode_indices)
+        )
+        rows.append(sampled_noimg)
+        names.append("sampled_noimg")
+        table = {"Sampled": sampled, "Sampled NoImg": sampled_noimg, "Orig": rows[0]}
+    else:
+        table = {"Sampled": sampled}
+
     out = os.path.join(workdir, f"eval_{step:07d}.jpg")
-    if save_image_grid(out, np.asarray(jnp.clip(images, 0, 1))):
-        print(f"[driver] wrote {out}")
+    if save_image_grid(out, [np.clip(r, 0, 1) for r in rows]):
+        print(f"[driver] wrote {out} (rows: {', '.join(names)})")
+    if logger is not None:
+        logger.log_images(step, table, captions=captions)
+    return names
 
 
 def make_synthetic_encode_fn(

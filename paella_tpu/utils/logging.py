@@ -67,6 +67,24 @@ class MetricLogger:
             )
             print(f"[step {step}] {parts}", flush=True)
 
+    def log_images(self, step: int, table: Dict[str, Any], captions=None) -> None:
+        """Mirror eval images to wandb as a table (the reference logs
+        Captions/Sampled/Sampled-NoImg/Orig, src_distributed/train.py:182-183).
+        table: column name -> NHWC [0,1] batch. No-op without wandb."""
+        if self._wandb is None:
+            return
+        import wandb
+
+        cols = list(table.keys())
+        n = len(next(iter(table.values())))
+        data = [
+            ([captions[i]] if captions is not None else [])
+            + [wandb.Image(table[c][i]) for c in cols]
+            for i in range(n)
+        ]
+        columns = (["Captions"] if captions is not None else []) + cols
+        self._wandb.log({"Log": wandb.Table(data=data, columns=columns)}, step=int(step))
+
     def close(self):
         self._file.close()
         if self._wandb is not None:
@@ -110,20 +128,37 @@ class StepTimer:
 
 
 def save_image_grid(path: str, images, pad: int = 2) -> bool:
-    """Save an NHWC [0,1] batch as one horizontal strip jpg (the reference writes
-    eval collages per checkpoint, src_distributed/train.py:174-180). Returns False
-    if PIL is unavailable."""
+    """Save a [0,1] image batch as a jpg collage (the reference writes eval
+    collages per checkpoint, src_distributed/train.py:174-180).
+
+    images: NHWC (one horizontal strip) or a list/5D stack of NHWC rows — each
+    row becomes one horizontal strip, rows stack vertically (the reference's
+    orig/noised/reconstructed/sampled layout). Returns False if PIL is
+    unavailable."""
     try:
         from PIL import Image
     except ImportError:
         return False
     import numpy as np
 
-    arr = np.asarray(images)
-    arr = np.clip(arr, 0.0, 1.0)
-    b, h, w, c = arr.shape
-    strip = np.ones((h, b * w + pad * (b - 1), c), np.float32)
-    for i in range(b):
-        strip[:, i * (w + pad) : i * (w + pad) + w] = arr[i]
-    Image.fromarray((strip * 255).astype(np.uint8)).save(path)
+    rows = images if isinstance(images, (list, tuple)) else np.asarray(images)
+    if not isinstance(rows, (list, tuple)) and rows.ndim == 4:
+        rows = [rows]
+
+    strips = []
+    for row in rows:
+        arr = np.clip(np.asarray(row, np.float32), 0.0, 1.0)
+        b, h, w, c = arr.shape
+        strip = np.ones((h, b * w + pad * (b - 1), c), np.float32)
+        for i in range(b):
+            strip[:, i * (w + pad) : i * (w + pad) + w] = arr[i]
+        strips.append(strip)
+    h_total = sum(s.shape[0] for s in strips) + pad * (len(strips) - 1)
+    w_total = max(s.shape[1] for s in strips)
+    grid = np.ones((h_total, w_total, strips[0].shape[2]), np.float32)
+    y = 0
+    for s in strips:
+        grid[y : y + s.shape[0], : s.shape[1]] = s
+        y += s.shape[0] + pad
+    Image.fromarray((grid * 255).astype(np.uint8)).save(path)
     return True

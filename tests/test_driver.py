@@ -49,3 +49,39 @@ def test_driver_runs_and_resumes(tmp_path):
         model, vq, vq_vars, data2, encode, null, t_cfg, d_cfg2, sample_eval=False
     )
     assert int(state2.step) == 5
+
+
+def test_eval_grid_collage(tmp_path):
+    """The eval collage has the reference's five rows (orig / noised /
+    argmax-reconstruction / sampled-with-image-cond / sampled-without,
+    src_distributed/train.py:140-183) and writes one jpg."""
+    pytest.importorskip("PIL")
+    from paella_tpu.models import init_params
+    from paella_tpu.train.driver import _eval_grid
+
+    model = Paella(P_CFG)
+    vq = VQModel(V_CFG)
+    vq_vars = vq.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    params = init_params(model, jax.random.PRNGKey(1), latent_hw=(16, 16))
+    encode, _ = make_synthetic_encode_fn(P_CFG.byt5_embd, P_CFG.clip_embd, seq_len=8)
+    d_cfg = DriverConfig(workdir=str(tmp_path), eval_steps=2)
+
+    images = np.random.default_rng(0).uniform(size=(2, 64, 64, 3)).astype(np.float32)
+    names = _eval_grid(
+        model, params, vq, vq_vars, encode, d_cfg, step=7, workdir=str(tmp_path),
+        images=images, captions=["a cat", "a dog"],
+    )
+    assert names == ["orig", "noised", "reconstructed", "sampled", "sampled_noimg"]
+    out = tmp_path / "eval_0000007.jpg"
+    assert out.exists()
+    from PIL import Image
+
+    w, h = Image.open(out).size
+    assert h > 5 * 64 and w > 2 * 64  # five rows, two columns
+
+    # prompts-only fallback still works (no diagnostic rows)
+    names2 = _eval_grid(
+        model, params, vq, vq_vars, encode, d_cfg, step=8, workdir=str(tmp_path)
+    )
+    assert names2 == ["sampled"]
+    assert (tmp_path / "eval_0000008.jpg").exists()

@@ -207,6 +207,7 @@ class Paella(nn.Module):
         clip_image_mask: Optional[Array] = None,
         cond_reweight: Optional[Array] = None,
         deterministic: bool = True,
+        return_features: bool = False,
     ) -> Array:
         cfg = self.config
         dtype = cfg.compute_dtype
@@ -337,6 +338,13 @@ class Paella(nn.Module):
         )(h)
         h = depth_to_space(h, cfg.patch_size)
         h = layer_norm(h)
+        if return_features:
+            # pre-head features (B, H, W, c_out). The head is LINEAR (no bias),
+            # so any affine combination of logits — notably the CFG mix —
+            # commutes through it; the sampler exploits this to mix c_out-dim
+            # features instead of num_labels-dim logits (32x less HBM traffic
+            # at the 8192-label flagship geometry).
+            return h
         # out kernel is value-tied to in_embedding at init by init_params()
         # (reference: src/modules.py:197); trained independently afterwards.
         logits = nn.Dense(

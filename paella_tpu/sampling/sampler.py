@@ -111,7 +111,7 @@ def merge_cfg_pair(cond: Conditioning, uncond: Conditioning) -> Conditioning:
     return Conditioning(byt5, clip, clip_image, byt5_mask, clip_mask, clip_image_mask)
 
 
-def _apply_model(model, params, x, t, c: Conditioning, cond_reweight=None):
+def _apply_model(model, params, x, t, c: Conditioning, cond_reweight=None, return_features=False):
     return model.apply(
         {"params": params},
         x,
@@ -124,6 +124,7 @@ def _apply_model(model, params, x, t, c: Conditioning, cond_reweight=None):
         clip_image_mask=c.clip_image_mask,
         cond_reweight=cond_reweight,
         deterministic=True,
+        return_features=return_features,
     )
 
 
@@ -180,6 +181,17 @@ def sample(
 
     merged = merge_cfg_pair(conditioning, unconditional) if do_cfg else conditioning
 
+    # The output head is linear (no bias), so the CFG logit mix commutes with
+    # it: mixing the c_out-dim FEATURES then projecting once does 2x less head
+    # compute and 32x less logit HBM traffic than projecting both branches to
+    # (B, H, W, 8192) and mixing there (traced at ~1 ms/step of the flagship
+    # sampler). Bit-identity for the non-CFG path is pinned by test_goldens.
+    dtype = model.config.compute_dtype
+    w_out = params["out_proj"]["kernel"]
+
+    def head(feat):
+        return jnp.dot(feat.astype(dtype), w_out.astype(dtype))
+
     def make_step(with_cfg: bool):
         def step(carry, inputs):
             sampled, key = carry
@@ -188,27 +200,37 @@ def sample(
             t = jnp.full((b,), t_curr, jnp.float32)
 
             if with_cfg:
-                logits2 = _apply_model(
+                feats2 = _apply_model(
                     model,
                     params,
                     jnp.concatenate([sampled, sampled], axis=0),
                     jnp.concatenate([t, t], axis=0),
                     merged,
                     cond_reweight=cond_reweight,
+                    return_features=True,
                 )
-                logits_c, logits_u = jnp.split(logits2.astype(jnp.float32), 2, axis=0)
-                # reference mix: logits*cfg + uncond*(1-cfg) (src_distributed/utils.py:117)
-                logits = logits_c * cfg_w + logits_u * (1.0 - cfg_w)
+                feat_c, feat_u = jnp.split(feats2.astype(jnp.float32), 2, axis=0)
+                # reference mix: logits*cfg + uncond*(1-cfg)
+                # (src_distributed/utils.py:117), applied pre-head — equivalent
+                # because the head is linear.
+                logits = head(feat_c * cfg_w + feat_u * (1.0 - cfg_w))
             else:
                 # past sampling_conditional_steps the reference runs ONLY the
                 # conditional forward (src_distributed/utils.py:116) — so does
                 # this branch (batch B, conditional conditioning only).
-                logits = _apply_model(
-                    model, params, sampled, t, conditioning, cond_reweight=cond_reweight
-                ).astype(jnp.float32)
+                feat = _apply_model(
+                    model, params, sampled, t, conditioning,
+                    cond_reweight=cond_reweight, return_features=True,
+                )
+                logits = head(feat)
 
-            # multinomial(softmax(logits/T)) == categorical(logits/T)
-            new_tokens = jax.random.categorical(k_cat, logits / temp, axis=-1).astype(jnp.int32)
+            # multinomial(softmax(logits/T)) == categorical(logits/T). The f32
+            # convert lives INSIDE the categorical fusion: HBM sees bf16 logits
+            # (half the traffic of materializing f32) while the gumbel argmax
+            # still runs in f32.
+            new_tokens = jax.random.categorical(
+                k_cat, logits.astype(jnp.float32) / temp, axis=-1
+            ).astype(jnp.int32)
 
             # renoise toward the SAME init_noise (src_distributed/utils.py:123-125)
             t_next_b = jnp.full((b,), t_next, jnp.float32)

@@ -44,7 +44,9 @@ def main():
     from paella_tpu.models import Paella, init_params
     from paella_tpu.sampling import Conditioning, sample
 
-    p_cfg = dataclasses.replace(PaellaConfig.v1_byt5_xl(), dtype="bfloat16")
+    p_cfg = dataclasses.replace(
+        PaellaConfig.v1_byt5_xl(), dtype="bfloat16", fused_blocks=True
+    )
     v_cfg = dataclasses.replace(VQConfig(), dtype="bfloat16")
     model = Paella(p_cfg)
     vq = VQModel(v_cfg)
@@ -59,7 +61,7 @@ def main():
     vq_vars = jax.tree_util.tree_map(
         lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, vq_vars
     )
-    s_cfg = SampleConfig(steps=STEPS)
+    s_cfg = SampleConfig(steps=STEPS, categorical_impl="pallas")
 
     k = jax.random.PRNGKey(2)
     cond = Conditioning(

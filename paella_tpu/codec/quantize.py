@@ -37,10 +37,15 @@ class VectorQuantize(nn.Module):
     quantize(z) returns (z_q straight-through, (vq_loss, commit_loss), indices),
     matching the tuple shape of the external torchtools quantizer the reference
     calls (src/vqgan.py:94). idx2vq embeds indices back to latents (src/vqgan.py:104).
+
+    impl="pallas" routes the nearest-neighbor search through the fused VMEM
+    kernel (kernels/quantize.py) — the (tokens, K) distance matrix never
+    touches HBM.
     """
 
     c: int
     k: int
+    impl: str = "xla"
 
     def setup(self):
         self.codebook = self.param(
@@ -49,8 +54,15 @@ class VectorQuantize(nn.Module):
             (self.k, self.c),
         )
 
+    def _lookup(self, z: Array) -> Array:
+        if self.impl == "pallas":
+            from ..kernels.quantize import fused_codebook_lookup
+
+            return fused_codebook_lookup(z, self.codebook)
+        return codebook_lookup(z, self.codebook)
+
     def quantize(self, z: Array) -> Tuple[Array, Tuple[Array, Array], Array]:
-        idx = codebook_lookup(z, self.codebook)
+        idx = self._lookup(z)
         z_q = jnp.take(self.codebook, idx, axis=0).astype(z.dtype)
         vq_loss = jnp.mean(jnp.square(jax.lax.stop_gradient(z) - z_q))
         commit_loss = jnp.mean(jnp.square(z - jax.lax.stop_gradient(z_q)))

@@ -136,7 +136,9 @@ class VQModel(nn.Module):
         # torch BatchNorm2d defaults: eps=1e-5, momentum=0.1 -> flax momentum 0.9
         self.latent_norm = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=jnp.float32, name="latent_norm")
 
-        self.vquantizer = VectorQuantize(cfg.c_latent, cfg.codebook_size, name="vquantizer")
+        self.vquantizer = VectorQuantize(
+            cfg.c_latent, cfg.codebook_size, impl=cfg.lookup_impl, name="vquantizer"
+        )
 
         # -- decoder --
         self.from_latent = nn.Dense(

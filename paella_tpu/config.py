@@ -36,6 +36,10 @@ class PaellaConfig:
     dtype: str = "float32"  # compute dtype; params are always float32
     remat: bool = False  # jax.checkpoint every block (training memory for FLOPs)
     attention_impl: str = "xla"  # "xla" | "pallas" (fused VMEM-resident kernel)
+    # Evaluate ResBlock(+FiLM) pairs with the fused Pallas kernel at inference
+    # (kernels/resblock.py). Parameter tree is identical either way; blocks
+    # whose activations exceed the kernel's VMEM budget fall back to XLA.
+    fused_blocks: bool = False
 
     @property
     def compute_dtype(self):
@@ -76,6 +80,9 @@ class VQConfig:
     codebook_size: int = 8192
     scale_factor: float = 0.3764
     dtype: str = "float32"
+    # nearest-neighbor search implementation for encode: "xla" or "pallas"
+    # (kernels/quantize.py streams codebook tiles through VMEM)
+    lookup_impl: str = "xla"
 
     @property
     def compute_dtype(self):
@@ -108,6 +115,10 @@ class SampleConfig:
     t_start: float = 1.0
     t_end: float = 0.0
     sampling_conditional_steps: Optional[int] = None
+    # "xla": jax.random.categorical. "pallas": in-VMEM Gumbel argmax
+    # (kernels/sampling.py) — same distribution, different PRNG stream; skips
+    # the 134 MB/step HBM round trip of materialized random bits.
+    categorical_impl: str = "xla"
 
     def resolved(self) -> "SampleConfig":
         cfg = self.cfg

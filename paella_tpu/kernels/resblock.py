@@ -1,0 +1,317 @@
+"""Pallas TPU kernel: fused ResBlock (+ optional FiLM timestep modulation).
+
+The denoiser's hot loop is `CTA` repetitions (reference blocks:
+src/modules.py:43-62, 99-106). Traced on a v5e at the 1B geometry, the XLA
+version of one ResBlock+Timestep pair costs ~130 us/rep, dominated by the fc1
+matmul fusion running at ~54% MFU (its GRN-stat epilogue and a transposed
+input layout stall the MXU) plus separate depthwise/LN/FiLM fusions. This
+kernel runs the whole block in ONE pallas_call (measured 95 us/rep at the
+level-1 geometry) with activations resident in VMEM:
+
+    x_res = x
+    x  = depthwise3x3(x)            # 9 shifted MACs on the VPU
+    x  = layer_norm(x)              # affine-free, f32 stats
+    h  = gelu(x @ W1 + b1)          # fc1 streamed in N-tiles (MXU)
+    h  = GRN(h)                     # folded: h * (gamma*nx + 1), beta via W2
+    y  = h @ W2 + b2 + beta @ W2    # fc2 streamed in N-tiles (MXU)
+    y  = y + x_res
+    y  = y * (1 + film_a) + film_b  # TimestepBlock, optional
+
+Weights stream through VMEM in double-buffered tiles via the grid: steps
+0..T1-1 compute fc1 output tiles, steps T1..T1+T2-1 fc2 output tiles. The
+(tokens, 4c) hidden activation lives in a VMEM scratch between phases and
+never touches HBM.
+
+Scan-stacked weights: inside the denoiser's per-repetition loop the weights
+live stacked on a leading axis. Slicing them per step materializes 26 MB/rep
+of HBM copies (measured 36 us/rep), so `fused_resblock_stacked` takes the
+FULL stacked arrays plus the repetition index as a scalar-prefetch argument —
+the BlockSpec index maps select the repetition and Pallas DMAs only the tiles
+it needs.
+
+Inference-only (no custom VJP): training keeps the flax/XLA path, which is
+what autodiff differentiates.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def _erf(x: Array) -> Array:
+    """erf for Mosaic (the erf/erfc primitives have no Pallas TPU lowering):
+    Abramowitz & Stegun 7.1.26, max abs error 1.5e-7 — far below bf16
+    resolution and the f32 parity tolerance."""
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    )
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(x: Array) -> Array:
+    """Exact (erf) GELU, matching nn/functional.py::gelu."""
+    return 0.5 * x * (1.0 + _erf(x * (2.0**-0.5)))
+
+
+def _kernel(
+    idx_ref,      # scalar prefetch: (1,) repetition index
+    # inputs (VMEM refs; weights carry a leading singleton rep axis)
+    x_ref,        # (B, H, W, C)
+    dw_w_ref,     # (1, 3, 3, 1, C)
+    dw_b_ref,     # (1, 1, C)
+    w1_ref,       # (1, C, TN1)   fc1 tile
+    b1_ref,       # (1, 1, TN1)
+    gamma_ref,    # (1, 1, 4C) f32
+    beta_ref,     # (1, 1, 4C) f32
+    w2_ref,       # (1, 4C, TN2)  fc2 tile
+    b2_ref,       # (1, 1, TN2)
+    film_ref,     # (1, B, 2C) [a | b], or (1, B, 2) dummy when film is off
+    # output
+    o_ref,        # (B, H, W, TN2) block of the result
+    # scratch
+    xn_ref,       # (B*H*W, C) — normalized depthwise output (phase 0)
+    h_ref,        # (B*H*W, 4C) — gelu(fc1) then GRN-scaled in place
+    gx_ref,       # (B, 4C) f32 — per-channel L2 norms over space
+    *,
+    n_t1: int,
+    n_t2: int,
+    tn1: int,
+    tn2: int,
+    c: int,
+    b: int,
+    hw: int,
+    with_film: bool,
+    eps_grn: float = 1e-6,
+    eps_ln: float = 1e-6,  # layer_norm parity: nn/functional.py eps=1e-6
+):
+    step = pl.program_id(0)
+    dtype = x_ref.dtype
+
+    # ---- phase 0 (first grid step): depthwise conv + LayerNorm into xn ----
+    @pl.when(step == 0)
+    def _phase0():
+        x = x_ref[...].astype(jnp.float32)  # (B, H, W, C)
+        _, hh, ww, _ = x.shape
+        # 3x3 depthwise as 9 shifted multiply-adds over a zero-padded copy
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        acc = jnp.zeros(x.shape, jnp.float32)
+        for ky in range(3):
+            for kx in range(3):
+                w = dw_w_ref[0, ky, kx, 0, :].astype(jnp.float32)  # (C,)
+                acc = acc + xp[:, ky : ky + hh, kx : kx + ww, :] * w
+        acc = acc + dw_b_ref[0, 0, :].astype(jnp.float32)
+        # affine-free LayerNorm over channels, f32 stats
+        mean = jnp.mean(acc, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(acc - mean), axis=-1, keepdims=True)
+        xn = (acc - mean) * jax.lax.rsqrt(var + eps_ln)
+        xn_ref[...] = xn.reshape(b * hw, c).astype(dtype)
+
+    # ---- phase 1 (steps 0..n_t1-1): fc1 tile -> gelu -> stash + L2 stats ----
+    @pl.when(step < n_t1)
+    def _phase1():
+        xn = xn_ref[...]
+        ht = jax.lax.dot_general(
+            xn, w1_ref[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (B*HW, TN1)
+        ht = ht + b1_ref[0, 0, :].astype(jnp.float32)
+        ht = _gelu_exact(ht)
+        col = step * tn1
+        h_ref[:, pl.ds(col, tn1)] = ht.astype(h_ref.dtype)
+        # per-batch spatial sum of squares for GRN (batches are row-contiguous)
+        hsq = jnp.square(ht)
+        for bi in range(b):
+            gx_ref[bi, pl.ds(col, tn1)] = jnp.sum(hsq[bi * hw : (bi + 1) * hw], axis=0)
+
+    # ---- phase 1.5 (last fc1 step): finalize GRN scale, apply in place ----
+    @pl.when(step == n_t1 - 1)
+    def _phase15():
+        gx = jnp.sqrt(gx_ref[...])  # (B, 4C)
+        nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + eps_grn)
+        scale = gamma_ref[0, 0, :] * nx + 1.0  # (B, 4C) f32
+        for bi in range(b):
+            rows = h_ref[pl.ds(bi * hw, hw), :]
+            h_ref[pl.ds(bi * hw, hw), :] = (
+                rows.astype(jnp.float32) * scale[bi][None, :]
+            ).astype(h_ref.dtype)
+
+    # ---- phase 2 (steps n_t1..): fc2 tile + bias + beta@W2 + residual + film --
+    @pl.when(step >= n_t1)
+    def _phase2():
+        t2 = step - n_t1
+        h = h_ref[...]
+        yt = jax.lax.dot_general(
+            h, w2_ref[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (B*HW, TN2)
+        # GRN beta contributes beta @ W2 (constant per output channel)
+        beta_w2 = jax.lax.dot_general(
+            beta_ref[0].astype(w2_ref.dtype), w2_ref[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (1, TN2)
+        yt = yt + b2_ref[0, 0, :].astype(jnp.float32) + beta_w2[0][None, :]
+        col = t2 * tn2
+        res = x_ref[:, :, :, pl.ds(col, tn2)].reshape(b * hw, tn2).astype(jnp.float32)
+        yt = yt + res
+        if with_film:
+            yt = yt.reshape(b, hw, tn2)
+            a = film_ref[0, :, pl.ds(col, tn2)].astype(jnp.float32)  # (B, TN2)
+            bb = film_ref[0, :, pl.ds(c + col, tn2)].astype(jnp.float32)
+            yt = yt * (1.0 + a[:, None, :]) + bb[:, None, :]
+            yt = yt.reshape(b * hw, tn2)
+        o_ref[...] = yt.reshape(o_ref.shape).astype(o_ref.dtype)
+
+
+def fused_resblock_stacked(
+    x: Array,
+    dw_kernel: Array,   # (R, 3, 3, 1, C)
+    dw_bias: Array,     # (R, C)
+    fc1_kernel: Array,  # (R, C, 4C)
+    fc1_bias: Array,    # (R, 4C)
+    grn_gamma: Array,   # (R, 4C)
+    grn_beta: Array,    # (R, 4C)
+    fc2_kernel: Array,  # (R, 4C, C)
+    fc2_bias: Array,    # (R, C)  [1D-per-rep vectors are staged as (R,1,N):
+                        #  Mosaic requires the last two block dims divisible by
+                        #  (8,128) or equal to the array dims]
+    rep_idx,            # int or int32 scalar: which repetition's weights
+    film_ab: Optional[Array] = None,  # (R, B, 2C) or None
+    tile_n1: int = 512,
+    tile_n2: int = 128,
+    interpret: bool = False,
+) -> Array:
+    """Fused ResBlock(+FiLM) over scan-stacked weights. The repetition index is
+    a scalar-prefetch argument, so the stacked arrays are consumed in place —
+    no per-step weight slice is ever materialized in HBM."""
+    b, hh, ww, c = x.shape
+    hw = hh * ww
+    c4 = fc1_kernel.shape[-1]
+    assert c4 % tile_n1 == 0 and c % tile_n2 == 0, (c4, tile_n1, c, tile_n2)
+    n_t1 = c4 // tile_n1
+    n_t2 = c // tile_n2
+    dtype = x.dtype
+
+    with_film = film_ab is not None
+    r = fc1_kernel.shape[0]
+    film = film_ab if with_film else jnp.zeros((r, b, 2), dtype)
+
+    kern = functools.partial(
+        _kernel,
+        n_t1=n_t1, n_t2=n_t2, tn1=tile_n1, tn2=tile_n2,
+        c=c, b=b, hw=hw, with_film=with_film,
+    )
+
+    def at_rep(*block):
+        return lambda i, s: (s[0], *block)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_t1 + n_t2,),
+        in_specs=[
+            pl.BlockSpec((b, hh, ww, c), lambda i, s: (0, 0, 0, 0)),          # x
+            pl.BlockSpec((1, 3, 3, 1, c), at_rep(0, 0, 0, 0)),                # dw_w
+            pl.BlockSpec((1, 1, c), at_rep(0, 0)),                            # dw_b
+            pl.BlockSpec(                                                      # fc1 tile
+                (1, c, tile_n1),
+                lambda i, s, n1=n_t1: (s[0], 0, jnp.minimum(i, n1 - 1)),
+            ),
+            pl.BlockSpec(
+                (1, 1, tile_n1),
+                lambda i, s, n1=n_t1: (s[0], 0, jnp.minimum(i, n1 - 1)),
+            ),
+            pl.BlockSpec((1, 1, c4), at_rep(0, 0)),                           # gamma
+            pl.BlockSpec((1, 1, c4), at_rep(0, 0)),                           # beta
+            pl.BlockSpec(                                                      # fc2 tile
+                (1, c4, tile_n2),
+                lambda i, s, n1=n_t1, n2=n_t2: (s[0], 0, jnp.clip(i - n1, 0, n2 - 1)),
+            ),
+            pl.BlockSpec(
+                (1, 1, tile_n2),
+                lambda i, s, n1=n_t1, n2=n_t2: (s[0], 0, jnp.clip(i - n1, 0, n2 - 1)),
+            ),
+            pl.BlockSpec((1,) + film.shape[1:], at_rep(0, 0)),                # film
+        ],
+        out_specs=pl.BlockSpec(
+            (b, hh, ww, tile_n2),
+            lambda i, s, n1=n_t1, n2=n_t2: (0, 0, 0, jnp.clip(i - n1, 0, n2 - 1)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((b * hw, c), dtype),       # xn: normalized depthwise out
+            pltpu.VMEM((b * hw, c4), dtype),      # h: gelu(fc1), GRN-scaled
+            pltpu.VMEM((b, c4), jnp.float32),     # gx: per-channel L2 stats
+        ],
+    )
+
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hh, ww, c), dtype),
+        interpret=interpret,
+    )(
+        jnp.asarray(rep_idx, jnp.int32).reshape(1),
+        x,
+        dw_kernel.astype(dtype),
+        dw_bias.astype(dtype)[:, None, :],
+        fc1_kernel.astype(dtype),
+        fc1_bias.astype(dtype)[:, None, :],
+        grn_gamma.astype(jnp.float32)[:, None, :],
+        grn_beta.astype(jnp.float32)[:, None, :],
+        fc2_kernel.astype(dtype),
+        fc2_bias.astype(dtype)[:, None, :],
+        film.astype(dtype),
+    )
+
+
+def fused_resblock(
+    x: Array,
+    dw_kernel: Array,
+    dw_bias: Array,
+    fc1_kernel: Array,
+    fc1_bias: Array,
+    grn_gamma: Array,
+    grn_beta: Array,
+    fc2_kernel: Array,
+    fc2_bias: Array,
+    film_ab: Optional[Array] = None,
+    tile_n1: int = 512,
+    tile_n2: int = 128,
+    interpret: bool = False,
+) -> Array:
+    """Single-repetition fused ResBlock(+FiLM): unstacked weights (the
+    materialized first repetition of a level). See fused_resblock_stacked.
+
+    x: (B, H, W, C). dw_kernel: (3,3,1,C) true-depthwise (cpg=1).
+    fc1: (C, 4C); fc2: (4C, C); grn gamma/beta: (4C,).
+    film_ab: (B, 2C) — TimestepBlock mapper output [a | b], or None.
+    """
+    return fused_resblock_stacked(
+        x,
+        dw_kernel[None],
+        dw_bias.reshape(1, -1),
+        fc1_kernel[None],
+        fc1_bias.reshape(1, -1),
+        grn_gamma.reshape(1, -1),
+        grn_beta.reshape(1, -1),
+        fc2_kernel[None],
+        fc2_bias.reshape(1, -1),
+        0,
+        film_ab=None if film_ab is None else film_ab[None],
+        tile_n1=tile_n1,
+        tile_n2=tile_n2,
+        interpret=interpret,
+    )

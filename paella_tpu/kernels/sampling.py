@@ -1,0 +1,100 @@
+"""Pallas TPU kernel: fused categorical sampling (Gumbel argmax).
+
+jax.random.categorical materializes one u32 per logit in HBM (134 MB/step at
+the flagship 64x64x8192 geometry: a 211 us rng-bit-generator op plus a fusion
+that reads the bits back). This kernel derives the random bits from a
+counter-based hash PRNG inside VMEM — HBM sees only the bf16 logits and the
+(B,H,W) int32 result.
+
+sample = argmax_k(logits_k / T + G_k), G = -log(-log(U)) — exactly the Gumbel
+reparameterization jax.random.categorical uses, so the output distribution is
+multinomial(softmax(logits/T)). The PRNG stream differs from jax.random's
+(per-core hardware PRNG seeded from the caller's key data), so draws are
+deterministic per (key, shape) but not bit-equal to the XLA path; the sampler
+only enables it when SampleConfig.categorical_impl == "pallas". Statistical
+correctness is pinned by tests/test_sampling_kernel.py.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def _mix(h):
+    """murmur3 finalizer: full-avalanche 32-bit mixing on the VPU."""
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return h
+
+
+def _kernel(seed_ref, temp_ref, logits_ref, out_ref, *, k: int, tile_m: int):
+    i = pl.program_id(0)
+    inv_temp = 1.0 / temp_ref[0]
+    logits = logits_ref[...].astype(jnp.float32) * inv_temp  # (TM, K)
+    # counter-based PRNG: one u32 per element from its global index + the key
+    # (two murmur3-finalizer rounds with seed injection — statistically clean
+    # for Gumbel noise, portable to interpret mode, deterministic per key)
+    rows = jax.lax.broadcasted_iota(jnp.uint32, logits.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.uint32, logits.shape, 1)
+    idx = (jnp.uint32(i * tile_m) + rows) * jnp.uint32(k) + cols
+    h = _mix(idx ^ seed_ref[0].astype(jnp.uint32))
+    u32 = _mix(h + seed_ref[1].astype(jnp.uint32))
+    # uniform in (0, 1): 24 high bits, offset by 2^-25 so log(log) never hits 0.
+    # Mosaic has no u32->f32 cast; the shifted value fits 24 bits, so bitcast
+    # to i32 (exact) and convert from there.
+    u24 = pltpu.bitcast(u32 >> 8, jnp.int32)
+    u = u24.astype(jnp.float32) * (2.0**-24) + (2.0**-25)
+    gumbel = -jnp.log(-jnp.log(u))
+    score = logits + gumbel
+    out_ref[...] = jnp.argmax(score, axis=-1).astype(jnp.int32).reshape(-1, 1)
+
+
+def gumbel_categorical(
+    key: Array,
+    logits: Array,
+    temperature,
+    tile_m: int = 256,
+    interpret: bool = False,
+) -> Array:
+    """Sample token ids ~ categorical(softmax(logits / temperature)).
+
+    logits: (..., K) bf16/f32. Returns (...,) int32. `temperature` may be a
+    traced scalar (the sampler's per-step schedule); it rides in as a
+    scalar-prefetch argument.
+    """
+    orig = logits.shape[:-1]
+    k = logits.shape[-1]
+    flat = logits.reshape(-1, k)
+    m = flat.shape[0]
+    pad = (-m) % tile_m
+    if pad:
+        flat = jnp.pad(flat, ((0, pad), (0, 0)))
+    mp = flat.shape[0]
+
+    # fold the key into two 32-bit seeds; the grid index separates tiles
+    data = jax.random.key_data(key).reshape(-1).astype(jnp.uint32)
+    seeds = jnp.stack([data[0], data[-1]]).astype(jnp.int32)
+    temp = jnp.asarray(temperature, jnp.float32).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(mp // tile_m,),
+        in_specs=[pl.BlockSpec((tile_m, k), lambda i, s, t: (i, 0))],
+        out_specs=pl.BlockSpec((tile_m, 1), lambda i, s, t: (i, 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, k=k, tile_m=tile_m),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((mp, 1), jnp.int32),
+        interpret=interpret,
+    )(seeds, temp, flat)
+    return out[:m, 0].reshape(orig)

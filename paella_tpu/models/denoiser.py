@@ -35,10 +35,24 @@ from ..nn.blocks import (
     AttnBlock,
     Downsample,
     FeedForwardBlock,
+    FusedResBlock,
     ResBlock,
     TimestepBlock,
     Upsample,
 )
+
+
+def _can_fuse_resblock(x, c: int, kernel_size: int, vmem_budget: int = 8 * 2**20) -> bool:
+    """Static gate for the fused ResBlock kernel: tile-aligned channels and
+    VMEM-resident scratch (hidden (tokens, 4c) + input/normalized copies).
+    Blocks that fail (e.g. level 0 at 256^2: 15.7 MB bf16) keep the XLA path —
+    the parameter tree is identical either way."""
+    b, h, w, ch = x.shape
+    if ch != c or kernel_size != 3 or c % 128 or (4 * c) % 512:
+        return False
+    itemsize = jnp.dtype(x.dtype).itemsize
+    scratch = b * h * w * (4 * c + 2 * c) * itemsize
+    return scratch <= vmem_budget
 from ..nn.functional import depth_to_space, layer_norm, sinusoidal_embedding, space_to_depth
 
 Array = jax.Array
@@ -63,11 +77,37 @@ class BlockGroup(nn.Module):
     dtype: Any
     deterministic: bool = True
     attention_impl: str = "xla"
+    fused_blocks: bool = False
 
     @nn.compact
     def __call__(self, x, r_embed, c_embed, cond_mask, cond_reweight):
-        for k, bt in enumerate(self.level_config):
+        seq = self.level_config
+        k = 0
+        while k < len(seq):
+            bt = seq[k]
             name = f"{k}_{bt}"
+            if (
+                bt == "C"
+                and self.fused_blocks
+                and self.deterministic
+                and _can_fuse_resblock(x, self.c, self.kernel_size)
+            ):
+                film_ab = None
+                consumed = 1
+                if k + 1 < len(seq) and seq[k + 1] == "T":
+                    film_ab = TimestepBlock(
+                        self.c, self.c_r, dtype=self.dtype, name=f"{k + 1}_T"
+                    )(x, r_embed, return_ab=True)
+                    consumed = 2
+                x = FusedResBlock(
+                    self.c,
+                    kernel_size=self.kernel_size,
+                    out_init_scale=self.out_init_scale,
+                    dtype=self.dtype,
+                    name=name,
+                )(x, film_ab)
+                k += consumed
+                continue
             if bt == "C":
                 x = ResBlock(
                     self.c,
@@ -106,6 +146,7 @@ class BlockGroup(nn.Module):
                 )(x, deterministic=self.deterministic)
             else:
                 raise ValueError(f"Block type {bt} not supported")
+            k += 1
         return x, None
 
 
@@ -242,8 +283,35 @@ class Paella(nn.Module):
 
         def first_rep(prefix: str, i: int, h, skip):
             """Materialized first repetition of a level (may take the UNet skip)."""
-            for k, bt in enumerate(cfg.level_config[i]):
+            seq = cfg.level_config[i]
+            k = 0
+            while k < len(seq):
+                bt = seq[k]
                 name = f"{prefix}_{i}_0_{k}_{bt}"
+                if (
+                    bt == "C"
+                    and cfg.fused_blocks
+                    and deterministic
+                    and not (skip is not None and k == 0)
+                    and _can_fuse_resblock(h, cfg.c_hidden[i], cfg.kernel_size)
+                ):
+                    film_ab = None
+                    consumed = 1
+                    if k + 1 < len(seq) and seq[k + 1] == "T":
+                        film_ab = TimestepBlock(
+                            cfg.c_hidden[i], cfg.c_r, dtype=dtype,
+                            name=f"{prefix}_{i}_0_{k + 1}_T",
+                        )(h, r_embed, return_ab=True)
+                        consumed = 2
+                    h = FusedResBlock(
+                        cfg.c_hidden[i],
+                        kernel_size=cfg.kernel_size,
+                        out_init_scale=out_scale,
+                        dtype=dtype,
+                        name=name,
+                    )(h, film_ab)
+                    k += consumed
+                    continue
                 if bt == "C":
                     c_skip = skip.shape[-1] if (skip is not None and k == 0) else 0
                     h = ResBlock(
@@ -277,6 +345,75 @@ class Paella(nn.Module):
                         dtype=dtype,
                         name=name,
                     )(h, deterministic=deterministic)
+                k += 1
+            return h
+
+        def rest_reps_fused(prefix: str, i: int, h):
+            """Inference fast path: manual lax.scan over the SAME stacked params
+            nn.scan created, with ResBlock+FiLM evaluated by the Pallas kernel.
+            The kernel takes the full stacked weights plus the repetition index
+            as a scalar-prefetch argument — nn.scan's per-step weight slices
+            materialized 26 MB/rep of HBM copies (traced at 36 us/rep), which
+            this avoids entirely. Attention applies functionally on
+            dynamically-indexed params (those slices fuse into the matmuls)."""
+            from ..kernels.resblock import fused_resblock_stacked
+
+            stacked = self.get_variable("params", f"{prefix}_{i}_rest")
+            pattern = cfg.level_config[i]
+            reps = cfg.blocks[i] - 1
+            p_c = stacked["0_C"]
+            cw = p_c["channelwise"]
+
+            film_all = None
+            if len(pattern) > 1 and pattern[1] == "T":
+                p_t = stacked["1_T"]["mapper"]
+                film_all = (
+                    jnp.einsum(
+                        "bk,rko->rbo", r_embed.astype(dtype), p_t["kernel"].astype(dtype)
+                    )
+                    + p_t["bias"][:, None, :].astype(dtype)
+                )
+
+            attn_mod = p_a = None
+            if pattern.endswith("A"):
+                p_a = stacked[f"{len(pattern) - 1}_A"]
+                attn_mod = AttnBlock(
+                    cfg.c_hidden[i],
+                    cfg.c_cond,
+                    cfg.nhead[i],
+                    self_attn=cfg.self_attn,
+                    dropout=0.0,
+                    dtype=dtype,
+                    attention_impl=cfg.attention_impl,
+                )
+
+            def body(hh, idx):
+                out = fused_resblock_stacked(
+                    hh.astype(dtype),
+                    p_c["depthwise"]["kernel"],
+                    p_c["depthwise"]["bias"],
+                    cw["fc1"]["kernel"],
+                    cw["fc1"]["bias"],
+                    cw["grn"]["gamma"],
+                    cw["grn"]["beta"],
+                    cw["fc2"]["kernel"],
+                    cw["fc2"]["bias"],
+                    idx,
+                    film_ab=film_all,
+                )
+                if attn_mod is not None:
+                    tree = jax.tree_util.tree_map(lambda p: p[idx], p_a)
+                    out = attn_mod.apply(
+                        {"params": tree},
+                        out,
+                        c_embed,
+                        cond_mask=cond_mask,
+                        cond_reweight=cond_reweight,
+                        deterministic=True,
+                    )
+                return out, None
+
+            h, _ = jax.lax.scan(body, h, jnp.arange(reps))
             return h
 
         def rest_reps(prefix: str, i: int, h):
@@ -284,6 +421,15 @@ class Paella(nn.Module):
             reps = cfg.blocks[i] - 1
             if reps <= 0:
                 return h
+            pattern = cfg.level_config[i]
+            if (
+                cfg.fused_blocks
+                and deterministic
+                and not self.is_initializing()
+                and pattern in ("CT", "CTA")
+                and _can_fuse_resblock(h, cfg.c_hidden[i], cfg.kernel_size)
+            ):
+                return rest_reps_fused(prefix, i, h)
             group_cls = nn.remat(BlockGroup) if cfg.remat else BlockGroup
             scanned = nn.scan(
                 group_cls,
@@ -304,6 +450,7 @@ class Paella(nn.Module):
                 dtype=dtype,
                 deterministic=deterministic,
                 attention_impl=cfg.attention_impl,
+                fused_blocks=cfg.fused_blocks,
                 name=f"{prefix}_{i}_rest",
             )
             h, _ = scanned(h, r_embed, c_embed, cond_mask, cond_reweight)

@@ -12,7 +12,7 @@ kernel_init arguments at the model level.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -97,16 +97,25 @@ class GroupedDepthwiseConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        from ..parallel.mesh import constrain_batch
+
         kh, kw = self.kernel_size
         cpg = x.shape[-1] // self.features
         kernel = self.param("kernel", tinit.xavier_uniform(), (kh, kw, cpg, self.features))
         bias = self.param("bias", tinit.zeros, (self.features,))
         k = kernel.astype(self.dtype)
         pad = [(kh // 2, kh // 2), (kw // 2, kw // 2)]
+        # GSPMD mis-propagates channel shardings through channel re-slicing
+        # (observed: 'involuntary full rematerialization' under fsdp); pin
+        # batch-only sharding and split the groups via reshape+index rather
+        # than a strided gather, which SPMD cannot shard.
+        x = constrain_batch(x)
+        b, hh, ww, _ = x.shape
+        xg = x.reshape(b, hh, ww, self.features, cpg)
         out = None
         for j in range(cpg):
             conv = jax.lax.conv_general_dilated(
-                x[..., j::cpg].astype(self.dtype),
+                constrain_batch(xg[..., j]).astype(self.dtype),
                 k[:, :, j : j + 1, :],
                 (1, 1),
                 pad,
@@ -114,7 +123,102 @@ class GroupedDepthwiseConv(nn.Module):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
             out = conv if out is None else out + conv
+        out = constrain_batch(out)
         return out + bias.astype(self.dtype)
+
+
+class _DenseParams(nn.Module):
+    """Declares nn.Dense's exact param tree without computing — the fused
+    ResBlock kernel consumes raw kernels (checkpoint-compatible paths)."""
+
+    in_features: int
+    features: int
+    kernel_init: Any = None
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", self.kernel_init, (self.in_features, self.features))
+        b = self.param("bias", tinit.zeros, (self.features,))
+        return k, b
+
+
+class _GRNParams(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("gamma", tinit.zeros, (self.dim,)),
+            self.param("beta", tinit.zeros, (self.dim,)),
+        )
+
+
+class _ChannelwiseParams(nn.Module):
+    """Mirrors ChannelwiseMLP's param tree (fc1 / grn / fc2)."""
+
+    c: int
+    out_init_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self):
+        fc1 = _DenseParams(self.c, self.c * 4, tinit.xavier_uniform(), name="fc1")()
+        grn = _GRNParams(self.c * 4, name="grn")()
+        fc2 = _DenseParams(
+            self.c * 4,
+            self.c,
+            tinit.scaled(tinit.xavier_uniform(), self.out_init_scale),
+            name="fc2",
+        )()
+        return fc1, grn, fc2
+
+
+class FusedResBlock(nn.Module):
+    """ResBlock evaluated by the fused Pallas kernel (kernels/resblock.py),
+    optionally absorbing the following TimestepBlock's FiLM. Parameter tree is
+    IDENTICAL to ResBlock's (same names, shapes, inits), so checkpoints and
+    init_params are interchangeable between the fused and unfused paths.
+
+    Inference-only (the kernel has no VJP); training uses ResBlock. No
+    skip-concat support — first repetitions consuming the UNet skip stay on
+    the XLA path.
+    """
+
+    c: int
+    kernel_size: int = 3
+    out_init_scale: float = 1.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, film_ab: Optional[Array] = None) -> Array:
+        from ..kernels.resblock import fused_resblock
+
+        kh = self.kernel_size
+        dwp = _DWParams(self.c, (kh, kh), name="depthwise")()
+        fc1, grn, fc2 = _ChannelwiseParams(
+            self.c, self.out_init_scale, name="channelwise"
+        )()
+        return fused_resblock(
+            x.astype(self.dtype),
+            dwp[0], dwp[1],
+            fc1[0], fc1[1],
+            grn[0], grn[1],
+            fc2[0], fc2[1],
+            film_ab=None if film_ab is None else film_ab.astype(self.dtype),
+        )
+
+
+class _DWParams(nn.Module):
+    """Mirrors GroupedDepthwiseConv's param tree for cpg=1."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+
+    @nn.compact
+    def __call__(self):
+        kh, kw = self.kernel_size
+        k = self.param("kernel", tinit.xavier_uniform(), (kh, kw, 1, self.features))
+        b = self.param("bias", tinit.zeros, (self.features,))
+        return k, b
 
 
 class ResBlock(nn.Module):
@@ -263,7 +367,7 @@ class TimestepBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, t_embed: Array) -> Array:
+    def __call__(self, x: Array, t_embed: Array, return_ab: bool = False) -> Array:
         ab = nn.Dense(
             self.c * 2,
             dtype=self.dtype,
@@ -271,6 +375,9 @@ class TimestepBlock(nn.Module):
             bias_init=tinit.zeros,
             name="mapper",
         )(t_embed)
+        if return_ab:
+            # (B, 2c) [a | b] for the fused ResBlock kernel's FiLM epilogue
+            return ab
         a, b = jnp.split(ab[:, None, None, :], 2, axis=-1)
         return x * (1 + a) + b
 

@@ -48,6 +48,37 @@ def batch_spec() -> P:
     return P(BATCH_AXES)
 
 
+def active_mesh() -> Optional[Mesh]:
+    """The mesh installed by an enclosing `with mesh:` block, or None."""
+    from jax._src import mesh as mesh_lib
+
+    m = mesh_lib.thread_resources.env.physical_mesh
+    return None if m.empty else m
+
+
+def constrain(x, spec: P):
+    """with_sharding_constraint(x, spec) if a mesh carrying the spec's axes is
+    active; identity otherwise (single-chip inference traces unchanged)."""
+    m = active_mesh()
+    if m is None:
+        return x
+    names = set()
+    for s in spec:
+        if s is not None:
+            names.update(s if isinstance(s, tuple) else (s,))
+    if not names.issubset(set(m.axis_names)):
+        return x
+    return jax.lax.with_sharding_constraint(x, spec)
+
+
+def constrain_batch(x):
+    """Pin an activation to batch-only sharding (channels replicated). Used
+    around ops GSPMD mis-propagates through — notably the grouped depthwise
+    conv's strided channel slicing, which otherwise triggers 'involuntary full
+    rematerialization' under fsdp."""
+    return constrain(x, P(BATCH_AXES, *([None] * (x.ndim - 1))))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, batch_spec())
 
@@ -85,7 +116,18 @@ def _path_str(path) -> str:
 # over 'tp' (Megatron-style column/row split expressed as GSPMD annotations; XLA
 # inserts the all-reduces). Keyed by path suffixes. Kernel layouts are (in, out)
 # for Dense (a leading stacked axis appears inside nn.scan groups).
-_TP_COL = ("attention/q/kernel", "attention/k/kernel", "attention/v/kernel", "fc1/kernel")
+# "mapper/kernel" covers kv_mapper, byt5/clip/clip_image mappers and the
+# TimestepBlock mapper (all column-splittable output projections).
+_TP_COL = (
+    "attention/q/kernel",
+    "attention/k/kernel",
+    "attention/v/kernel",
+    "fc1/kernel",
+    "mapper/kernel",
+    "embedding_conv/kernel",
+    "clf_conv/kernel",
+    "out_proj/kernel",
+)
 _TP_ROW = ("attention/o/kernel", "fc2/kernel")
 
 
@@ -123,6 +165,11 @@ def param_shardings(params, mesh: Mesh, min_size: int = 2**14):
         tp = tp_param_spec(ps, p, tp_size)
         if tp is not None:
             return NamedSharding(mesh, tp)
+        if ps.endswith("depthwise/kernel"):
+            # depthwise kernels are KBs; sharding their channel axis forces
+            # channel shardings into the grouped conv, which GSPMD can only
+            # resolve by full rematerialization. Replicate instead.
+            return NamedSharding(mesh, P())
         return NamedSharding(mesh, fsdp_param_spec(path, p, fsdp_size, min_size))
 
     return jax.tree_util.tree_map_with_path(to_sharding, params)

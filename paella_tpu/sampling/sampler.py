@@ -228,9 +228,14 @@ def sample(
             # convert lives INSIDE the categorical fusion: HBM sees bf16 logits
             # (half the traffic of materializing f32) while the gumbel argmax
             # still runs in f32.
-            new_tokens = jax.random.categorical(
-                k_cat, logits.astype(jnp.float32) / temp, axis=-1
-            ).astype(jnp.int32)
+            if cfg.categorical_impl == "pallas":
+                from ..kernels.sampling import gumbel_categorical
+
+                new_tokens = gumbel_categorical(k_cat, logits, temp)
+            else:
+                new_tokens = jax.random.categorical(
+                    k_cat, logits.astype(jnp.float32) / temp, axis=-1
+                ).astype(jnp.int32)
 
             # renoise toward the SAME init_noise (src_distributed/utils.py:123-125)
             t_next_b = jnp.full((b,), t_next, jnp.float32)

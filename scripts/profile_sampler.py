@@ -19,6 +19,7 @@ def main():
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--out", default="/tmp/paella_trace")
     ap.add_argument("--attention", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--fused", action="store_true", help="fused ResBlock Pallas kernel")
     ap.add_argument("--iters", type=int, default=3)
     args = ap.parse_args()
 
@@ -34,7 +35,10 @@ def main():
     from paella_tpu.utils import trace
 
     p_cfg = dataclasses.replace(
-        PaellaConfig.v1_byt5_xl(), dtype="bfloat16", attention_impl=args.attention
+        PaellaConfig.v1_byt5_xl(),
+        dtype="bfloat16",
+        attention_impl=args.attention,
+        fused_blocks=args.fused,
     )
     model = Paella(p_cfg)
     params = init_params(model, jax.random.PRNGKey(0), latent_hw=(64, 64))

@@ -109,8 +109,14 @@ def test_tp_param_specs():
     # row-parallel: o kernel -> in sharded
     spec = tp_param_spec("up_1_rest/2_A/attention/o/kernel", jnp.zeros((1, 32, 32)), 2)
     assert spec == P(None, "tp", None)
-    # non-matching path -> None
-    assert tp_param_spec("clf_conv/kernel", jnp.zeros((32, 64)), 2) is None
+    # mappers / head projections are column-parallel (round-2 rules)
+    assert tp_param_spec("clf_conv/kernel", jnp.zeros((32, 64)), 2) == P(None, "tp")
+    assert tp_param_spec("down_1_rest/2_A/kv_mapper/kernel", jnp.zeros((1, 32, 32)), 2) == P(
+        None, None, "tp"
+    )
+    assert tp_param_spec("out_proj/kernel", jnp.zeros((32, 64)), 2) == P(None, "tp")
+    # non-matching path -> None (embeddings stay replicated / fsdp-ruled)
+    assert tp_param_spec("in_embedding/embedding", jnp.zeros((32, 64)), 2) is None
     # indivisible -> None
     assert tp_param_spec("x/fc1/kernel", jnp.zeros((32, 33)), 2) is None
 

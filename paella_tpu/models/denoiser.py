@@ -195,6 +195,8 @@ class Paella(nn.Module):
         padding mask — pass no masks for bit-faithful parity with torch outputs.
         """
         cfg = self.config
+        from ..parallel.mesh import constrain_batch
+
         byt5_mapper, clip_mapper, clip_image_mapper = mappers
         b = byt5.shape[0]
         parts = [byt5_mapper(byt5.astype(cfg.compute_dtype))]
@@ -230,6 +232,10 @@ class Paella(nn.Module):
             else:
                 mask_parts.append(jnp.ones((b, k_imgs * cfg.clip_seq_len), bool))
             any_mask |= clip_image_mask is not None
+        # pin batch-only sharding: the mappers' fsdp/tp weight shardings
+        # otherwise propagate into these (tiny) activations and force SPMD
+        # rematerialization at the reshape/concat (seen at 1B fsdp=8)
+        parts = [constrain_batch(p) for p in parts]
         seq = layer_norm(jnp.concatenate(parts, axis=1))
         mask = jnp.concatenate(mask_parts, axis=1) if any_mask else None
         return seq, mask

@@ -1,0 +1,70 @@
+"""Production-geometry compile smoke (VERDICT r1 #6): the FULL 1B train step
+compiles under fsdp=8 on the virtual mesh with abstract (never materialized)
+arrays — catching sharding-spec regressions at the geometry that matters
+without paying for real 1B arrays. ~70 s of XLA CPU compile; runs once.
+"""
+import jax
+import jax.numpy as jnp
+import pytest
+
+from paella_tpu.config import PaellaConfig, TrainConfig, VQConfig
+from paella_tpu.codec import VQModel
+from paella_tpu.models import Paella, init_params
+from paella_tpu.parallel import batch_sharding, make_mesh, replicated
+from paella_tpu.parallel.mesh import param_shardings
+from paella_tpu.train import Batch, NullCond, create_train_state, make_train_step
+
+
+def test_1b_fsdp8_train_step_compiles():
+    p_cfg = PaellaConfig.v1_byt5_xl()
+    v_cfg = VQConfig()
+    model, vq = Paella(p_cfg), VQModel(v_cfg)
+    mesh = make_mesh(fsdp=8)
+    t_cfg = TrainConfig(warmup_updates=1)
+
+    params_s = jax.eval_shape(lambda: init_params(model, jax.random.PRNGKey(0), (16, 16)))
+    state_s = jax.eval_shape(lambda: create_train_state(params_s, t_cfg))
+    vq_s = jax.eval_shape(lambda: vq.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3))))
+
+    psh = param_shardings(params_s, mesh)
+    rep, bsh = replicated(mesh), batch_sharding(mesh)
+
+    def sds(tree, sh):
+        return jax.tree_util.tree_map(
+            lambda l, s: jax.ShapeDtypeStruct(l.shape, l.dtype, sharding=s), tree, sh
+        )
+
+    def rsds(tree):
+        return jax.tree_util.tree_map(
+            lambda l: jax.ShapeDtypeStruct(l.shape, l.dtype, sharding=rep), tree
+        )
+
+    state_abs = state_s.replace(
+        params=sds(state_s.params, psh),
+        opt_state=rsds(state_s.opt_state),
+        step=jax.ShapeDtypeStruct(state_s.step.shape, state_s.step.dtype, sharding=rep),
+    )
+    b = 8
+    batch_abs = Batch(
+        images=jax.ShapeDtypeStruct((b, 64, 64, 3), jnp.float32, sharding=bsh),
+        byt5=jax.ShapeDtypeStruct((b, 4, p_cfg.byt5_embd), jnp.float32, sharding=bsh),
+        byt5_mask=jax.ShapeDtypeStruct((b, 4), jnp.bool_, sharding=bsh),
+        clip=jax.ShapeDtypeStruct((b, p_cfg.clip_embd), jnp.float32, sharding=bsh),
+        clip_image=jax.ShapeDtypeStruct((b, p_cfg.clip_embd), jnp.float32, sharding=bsh),
+    )
+    null_abs = NullCond(
+        byt5=jax.ShapeDtypeStruct((1, 2, p_cfg.byt5_embd), jnp.float32, sharding=rep),
+        byt5_mask=jax.ShapeDtypeStruct((1, 2), jnp.bool_, sharding=rep),
+        clip=jax.ShapeDtypeStruct((1, p_cfg.clip_embd), jnp.float32, sharding=rep),
+    )
+    vq_abs = rsds(vq_s)
+    key_abs = jax.ShapeDtypeStruct((2,), jnp.uint32, sharding=rep)
+
+    step = jax.jit(make_train_step(model, vq, t_cfg))
+    with mesh:
+        compiled = step.lower(state_abs, vq_abs, batch_abs, null_abs, key_abs).compile()
+    mem = compiled.memory_analysis()
+    # per-device argument bytes: 1B params + AdamW moments, fsdp-sharded, must
+    # be a fraction of the replicated 12+ GB
+    assert mem.argument_size_in_bytes < 10e9
+    assert mem.temp_size_in_bytes < 2e9

@@ -380,18 +380,68 @@ class Paella(nn.Module):
                     + p_t["bias"][:, None, :].astype(dtype)
                 )
 
-            attn_mod = p_a = None
+            attn = None
             if pattern.endswith("A"):
+                from ..nn.attention import dot_product_attention
+                from ..nn.functional import layer_norm as _ln, silu as _silu
+
                 p_a = stacked[f"{len(pattern) - 1}_A"]
-                attn_mod = AttnBlock(
-                    cfg.c_hidden[i],
-                    cfg.c_cond,
-                    cfg.nhead[i],
-                    self_attn=cfg.self_attn,
-                    dropout=0.0,
-                    dtype=dtype,
-                    attention_impl=cfg.attention_impl,
-                )
+                nhead = cfg.nhead[i]
+                # hoisted out of the scan (all loop-invariant):
+                # - kv_mapper applied for ALL reps in one einsum
+                # - k and v kernels pre-concatenated so the in-loop projection
+                #   of the (pixels + cond) sequence is ONE matmul
+                kvm = p_a["kv_mapper"]
+                kv_all = (
+                    jnp.einsum(
+                        "bsk,rko->rbso",
+                        _silu(c_embed).astype(dtype),
+                        kvm["kernel"].astype(dtype),
+                    )
+                    + kvm["bias"][:, None, None, :].astype(dtype)
+                )  # (R, B, S_cond, c)
+                pa_att = p_a["attention"]
+                w_kv = jnp.concatenate(
+                    [pa_att["k"]["kernel"], pa_att["v"]["kernel"]], axis=-1
+                ).astype(dtype)  # (R, c, 2c)
+                b_kv = jnp.concatenate(
+                    [pa_att["k"]["bias"], pa_att["v"]["bias"]], axis=-1
+                ).astype(dtype)  # (R, 2c)
+                w_q = pa_att["q"]["kernel"].astype(dtype)
+                b_q = pa_att["q"]["bias"].astype(dtype)
+                w_o = pa_att["o"]["kernel"].astype(dtype)
+                b_o = pa_att["o"]["bias"].astype(dtype)
+
+                def attn(x, idx):
+                    """AttnBlock math (nn/blocks.py::AttnBlock) on per-rep
+                    dynamically-indexed params; parity pinned by
+                    test_resblock_kernel.py::test_fused_blocks_model_parity."""
+                    b, hh_, ww_, c = x.shape
+                    n_pix = hh_ * ww_
+                    tokens = _ln(x).reshape(b, n_pix, c).astype(dtype)
+                    kv = kv_all[idx]
+                    kv_full = jnp.concatenate([tokens, kv], axis=1)
+                    kv_mask = None
+                    if cond_mask is not None:
+                        kv_mask = jnp.concatenate(
+                            [jnp.ones((b, n_pix), bool), cond_mask], axis=1
+                        )
+                    reweight = None
+                    if cond_reweight is not None:
+                        cw_ = jnp.broadcast_to(cond_reweight, (b, kv.shape[1]))
+                        pix_w = jnp.ones((b, n_pix), dtype=cw_.dtype)
+                        reweight = jnp.concatenate([pix_w, cw_], axis=-1)[:, None, None, :]
+
+                    hd = c // nhead
+                    s = kv_full.shape[1]
+                    q = (tokens @ w_q[idx] + b_q[idx]).reshape(b, n_pix, nhead, hd)
+                    kvp = kv_full @ w_kv[idx] + b_kv[idx]
+                    xk, xv = jnp.split(kvp, 2, axis=-1)
+                    xk = xk.reshape(b, s, nhead, hd)
+                    xv = xv.reshape(b, s, nhead, hd)
+                    out = dot_product_attention(q, xk, xv, kv_mask=kv_mask, reweight=reweight)
+                    out = out.reshape(b, n_pix, c) @ w_o[idx] + b_o[idx]
+                    return x + out.reshape(b, hh_, ww_, c).astype(x.dtype)
 
             def body(hh, idx):
                 out = fused_resblock_stacked(
@@ -407,16 +457,8 @@ class Paella(nn.Module):
                     idx,
                     film_ab=film_all,
                 )
-                if attn_mod is not None:
-                    tree = jax.tree_util.tree_map(lambda p: p[idx], p_a)
-                    out = attn_mod.apply(
-                        {"params": tree},
-                        out,
-                        c_embed,
-                        cond_mask=cond_mask,
-                        cond_reweight=cond_reweight,
-                        deterministic=True,
-                    )
+                if attn is not None:
+                    out = attn(out, idx)
                 return out, None
 
             h, _ = jax.lax.scan(body, h, jnp.arange(reps))

@@ -119,3 +119,13 @@ def test_fused_blocks_model_parity():
     with pltpu.force_tpu_interpret_mode():
         got = model_fused.apply({"params": params}, x, r, byt5, clip)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4)
+
+    # masks + attention reweighting must flow through the fused attention path
+    byt5_mask = jnp.array([[True] * 5, [True, True, True, False, False]])
+    s_cond = 5 + base.clip_seq_len
+    reweight = jnp.linspace(0.5, 1.5, 2 * s_cond).reshape(2, s_cond)
+    kw = dict(byt5_mask=byt5_mask, cond_reweight=reweight)
+    want_m = model.apply({"params": params}, x, r, byt5, clip, **kw)
+    with pltpu.force_tpu_interpret_mode():
+        got_m = model_fused.apply({"params": params}, x, r, byt5, clip, **kw)
+    np.testing.assert_allclose(np.asarray(got_m), np.asarray(want_m), rtol=5e-4, atol=5e-4)

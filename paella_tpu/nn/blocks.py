@@ -111,6 +111,18 @@ class GroupedDepthwiseConv(nn.Module):
         # than a strided gather, which SPMD cannot shard.
         x = constrain_batch(x)
         b, hh, ww, _ = x.shape
+        if cpg == 1 and (kh, kw) == (3, 3):
+            # pure depthwise: 9 shifted multiply-adds (elementwise; XLA fuses
+            # them and keeps a standard layout). The conv emitter's output
+            # layout otherwise forces the following fc1 matmul onto a
+            # transposed operand (traced at 35% MFU on the level-0 blocks).
+            xq = x.astype(self.dtype)
+            xp = jnp.pad(xq, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            out = jnp.zeros_like(xq)
+            for ky in range(3):
+                for kx in range(3):
+                    out = out + xp[:, ky : ky + hh, kx : kx + ww, :] * k[ky, kx, 0, :]
+            return constrain_batch(out) + bias.astype(self.dtype)
         xg = x.reshape(b, hh, ww, self.features, cpg)
         out = None
         for j in range(cpg):

@@ -34,7 +34,9 @@ def main():
     from paella_tpu.sampling import Conditioning, fast_key, sample
 
     b = args.batch
-    p_cfg = dataclasses.replace(PaellaConfig.v1_byt5_xl(), dtype="bfloat16")
+    p_cfg = dataclasses.replace(
+        PaellaConfig.v1_byt5_xl(), dtype="bfloat16", fused_blocks=True
+    )
     model = Paella(p_cfg)
     params = init_params(model, jax.random.PRNGKey(0), latent_hw=(64, 64))
     params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params)
@@ -54,8 +56,12 @@ def main():
         byt5=jax.random.normal(k, (b, 2, p_cfg.byt5_embd), jnp.bfloat16),
         clip=jax.random.normal(k, (b, p_cfg.clip_embd), jnp.bfloat16),
     )
-    s_cfg = SampleConfig(steps=args.steps)
-    decode = jax.jit(lambda ix: vq.apply(vq_vars, ix, method=VQModel.decode_indices))
+    s_cfg = SampleConfig(steps=args.steps, categorical_impl="pallas")
+    decode = jax.jit(
+        lambda ix: (
+            jnp.clip(vq.apply(vq_vars, ix, method=VQModel.decode_indices), 0, 1) * 255
+        ).astype(jnp.uint8)
+    )
 
     def gen(key):
         return decode(sample(model, params, key, cond, (b, 64, 64), uncond, s_cfg))

@@ -77,6 +77,8 @@ def _kernel(
     beta_ref,     # (1, 1, 4C) f32
     w2_ref,       # (1, 4C, TN2)  fc2 tile
     b2_ref,       # (1, 1, TN2)
+    s1_ref,       # (1, 1, TN1) f32 per-out-channel fc1 scales (int8 mode)
+    s2_ref,       # (1, 1, TN2) f32 per-out-channel fc2 scales (int8 mode)
     film_ref,     # (1, B, 2C) [a | b], or (1, B, 2) dummy when film is off
     # output
     o_ref,        # (B, H, W, TN2) block of the result
@@ -93,6 +95,7 @@ def _kernel(
     b: int,
     hw: int,
     with_film: bool,
+    quantized: bool,
     eps_grn: float = 1e-6,
     eps_ln: float = 1e-6,  # layer_norm parity: nn/functional.py eps=1e-6
 ):
@@ -122,11 +125,15 @@ def _kernel(
     @pl.when(step < n_t1)
     def _phase1():
         xn = xn_ref[...]
+        w1 = w1_ref[0].astype(xn.dtype)  # int8 values are exact in bf16
         ht = jax.lax.dot_general(
-            xn, w1_ref[0],
+            xn, w1,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (B*HW, TN1)
+        if quantized:
+            # weight-only int8: x @ (Wq * s) == (x @ Wq) * s, s per out channel
+            ht = ht * s1_ref[0, 0, :]
         ht = ht + b1_ref[0, 0, :].astype(jnp.float32)
         ht = _gelu_exact(ht)
         col = step * tn1
@@ -153,18 +160,22 @@ def _kernel(
     def _phase2():
         t2 = step - n_t1
         h = h_ref[...]
+        w2 = w2_ref[0].astype(h.dtype)
         yt = jax.lax.dot_general(
-            h, w2_ref[0],
+            h, w2,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (B*HW, TN2)
         # GRN beta contributes beta @ W2 (constant per output channel)
         beta_w2 = jax.lax.dot_general(
-            beta_ref[0].astype(w2_ref.dtype), w2_ref[0],
+            beta_ref[0].astype(h.dtype), w2,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (1, TN2)
-        yt = yt + b2_ref[0, 0, :].astype(jnp.float32) + beta_w2[0][None, :]
+        yt = yt + beta_w2[0][None, :]
+        if quantized:
+            yt = yt * s2_ref[0, 0, :]
+        yt = yt + b2_ref[0, 0, :].astype(jnp.float32)
         col = t2 * tn2
         res = x_ref[:, :, :, pl.ds(col, tn2)].reshape(b * hw, tn2).astype(jnp.float32)
         yt = yt + res
@@ -191,13 +202,20 @@ def fused_resblock_stacked(
                         #  (8,128) or equal to the array dims]
     rep_idx,            # int or int32 scalar: which repetition's weights
     film_ab: Optional[Array] = None,  # (R, B, 2C) or None
+    fc1_scale: Optional[Array] = None,  # (R, 4C) f32: fc1_kernel is int8
+    fc2_scale: Optional[Array] = None,  # (R, C) f32: fc2_kernel is int8
     tile_n1: int = 512,
     tile_n2: int = 128,
     interpret: bool = False,
 ) -> Array:
     """Fused ResBlock(+FiLM) over scan-stacked weights. The repetition index is
     a scalar-prefetch argument, so the stacked arrays are consumed in place —
-    no per-step weight slice is ever materialized in HBM."""
+    no per-step weight slice is ever materialized in HBM.
+
+    Weight-only int8 (quant.py): pass int8 fc1/fc2 kernels with their
+    per-out-channel f32 scales; the kernel streams half the weight bytes and
+    applies scales to the matmul outputs — x @ (Wq*s) == (x @ Wq) * s exactly.
+    """
     b, hh, ww, c = x.shape
     hw = hh * ww
     c4 = fc1_kernel.shape[-1]
@@ -207,13 +225,19 @@ def fused_resblock_stacked(
     dtype = x.dtype
 
     with_film = film_ab is not None
+    quantized = fc1_scale is not None
+    if quantized:
+        assert fc1_kernel.dtype == jnp.int8 and fc2_kernel.dtype == jnp.int8
+        assert fc2_scale is not None
     r = fc1_kernel.shape[0]
     film = film_ab if with_film else jnp.zeros((r, b, 2), dtype)
+    s1 = fc1_scale if quantized else jnp.ones((r, c4), jnp.float32)
+    s2 = fc2_scale if quantized else jnp.ones((r, c), jnp.float32)
 
     kern = functools.partial(
         _kernel,
         n_t1=n_t1, n_t2=n_t2, tn1=tile_n1, tn2=tile_n2,
-        c=c, b=b, hw=hw, with_film=with_film,
+        c=c, b=b, hw=hw, with_film=with_film, quantized=quantized,
     )
 
     def at_rep(*block):
@@ -244,6 +268,14 @@ def fused_resblock_stacked(
                 (1, 1, tile_n2),
                 lambda i, s, n1=n_t1, n2=n_t2: (s[0], 0, jnp.clip(i - n1, 0, n2 - 1)),
             ),
+            pl.BlockSpec(                                                      # s1 tile
+                (1, 1, tile_n1),
+                lambda i, s, n1=n_t1: (s[0], 0, jnp.minimum(i, n1 - 1)),
+            ),
+            pl.BlockSpec(                                                      # s2 tile
+                (1, 1, tile_n2),
+                lambda i, s, n1=n_t1, n2=n_t2: (s[0], 0, jnp.clip(i - n1, 0, n2 - 1)),
+            ),
             pl.BlockSpec((1,) + film.shape[1:], at_rep(0, 0)),                # film
         ],
         out_specs=pl.BlockSpec(
@@ -267,12 +299,14 @@ def fused_resblock_stacked(
         x,
         dw_kernel.astype(dtype),
         dw_bias.astype(dtype)[:, None, :],
-        fc1_kernel.astype(dtype),
+        fc1_kernel if quantized else fc1_kernel.astype(dtype),
         fc1_bias.astype(dtype)[:, None, :],
         grn_gamma.astype(jnp.float32)[:, None, :],
         grn_beta.astype(jnp.float32)[:, None, :],
-        fc2_kernel.astype(dtype),
+        fc2_kernel if quantized else fc2_kernel.astype(dtype),
         fc2_bias.astype(dtype)[:, None, :],
+        s1.astype(jnp.float32)[:, None, :],
+        s2.astype(jnp.float32)[:, None, :],
         film.astype(dtype),
     )
 

@@ -456,6 +456,9 @@ class Paella(nn.Module):
                     cw["fc2"]["bias"],
                     idx,
                     film_ab=film_all,
+                    # weight-only int8 (quant.quantize_paella_int8) rides along
+                    fc1_scale=cw["fc1"].get("kernel_scale"),
+                    fc2_scale=cw["fc2"].get("kernel_scale"),
                 )
                 if attn is not None:
                     out = attn(out, idx)
@@ -478,6 +481,19 @@ class Paella(nn.Module):
                 and _can_fuse_resblock(h, cfg.c_hidden[i], cfg.kernel_size)
             ):
                 return rest_reps_fused(prefix, i, h)
+            if not self.is_initializing():
+                st = self.get_variable("params", f"{prefix}_{i}_rest")
+                if any(
+                    getattr(l, "dtype", None) == jnp.int8
+                    for l in jax.tree_util.tree_leaves(st)
+                ):
+                    raise ValueError(
+                        f"{prefix}_{i}_rest holds int8 weights (quant."
+                        "quantize_paella_int8) but this level is not on the "
+                        "fused kernel path — int8 codes have no meaning to the "
+                        "XLA Dense path. Use fused_blocks=True with a "
+                        "fuse-eligible geometry, or keep these levels bf16."
+                    )
             group_cls = nn.remat(BlockGroup) if cfg.remat else BlockGroup
             scanned = nn.scan(
                 group_cls,

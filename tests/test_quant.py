@@ -1,0 +1,116 @@
+"""Weight-only int8 tests: the fused kernel's int8 path must match the float
+path on DEQUANTIZED weights almost exactly (scale association is the only
+difference), and the end-to-end quantized model must stay close to bf16."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from paella_tpu.config import PaellaConfig
+from paella_tpu.quant import (
+    dequantize_dense_int8,
+    quantize_dense_int8,
+    quantize_paella_int8,
+)
+
+
+def test_quantize_roundtrip_error_bound():
+    k = jax.random.normal(jax.random.PRNGKey(0), (64, 128)) * 0.1
+    q, s = quantize_dense_int8(k)
+    assert q.dtype == jnp.int8 and s.shape == (128,)
+    deq = dequantize_dense_int8(q, s)
+    # symmetric per-channel rounding: error <= scale/2 per element
+    err = np.abs(np.asarray(deq - k))
+    assert (err <= np.asarray(s)[None, :] / 2 + 1e-9).all()
+
+
+def test_fused_kernel_int8_matches_dequantized_float():
+    from paella_tpu.kernels.resblock import fused_resblock_stacked
+    from tests.test_resblock_kernel import make_inputs
+
+    x, dw_k, dw_b, w1, b1, gamma, beta, w2, b2, film = make_inputs(
+        jax.random.PRNGKey(3), b=2, hw=8, c=128
+    )
+    r = 2
+    stack = lambda a: jnp.stack([a, a * 0.5])
+    w1s, w2s = stack(w1), stack(w2)
+    q1, s1 = quantize_dense_int8(w1s)
+    q2, s2 = quantize_dense_int8(w2s)
+
+    for idx in range(r):
+        want = fused_resblock_stacked(
+            x, stack(dw_k), stack(dw_b), dequantize_dense_int8(q1, s1),
+            stack(b1), stack(gamma), stack(beta), dequantize_dense_int8(q2, s2),
+            stack(b2), idx, film_ab=stack(film),
+            tile_n1=128, tile_n2=64, interpret=True,
+        )
+        got = fused_resblock_stacked(
+            x, stack(dw_k), stack(dw_b), q1, stack(b1), stack(gamma),
+            stack(beta), q2, stack(b2), idx, film_ab=stack(film),
+            fc1_scale=s1, fc2_scale=s2,
+            tile_n1=128, tile_n2=64, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_quantized_model_close_to_float():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from paella_tpu.models import Paella, init_params
+    from tests._utils import perturb
+
+    base = dataclasses.replace(
+        PaellaConfig.tiny(),
+        c_hidden=(128, 128),
+        nhead=(-1, 4),
+        blocks=(2, 3),
+        level_config=("CT", "CTA"),
+        dropout=(0.0, 0.0),
+        fused_blocks=True,
+    )
+    model = Paella(base)
+    params = perturb(
+        init_params(model, jax.random.PRNGKey(0), latent_hw=(16, 16)),
+        jax.random.PRNGKey(9),
+    )
+    qparams = quantize_paella_int8(params, levels=(0, 1))
+
+    x = jax.random.randint(jax.random.PRNGKey(1), (2, 16, 16), 0, base.num_labels)
+    r = jnp.array([0.3, 0.8])
+    byt5 = jax.random.normal(jax.random.PRNGKey(2), (2, 5, base.byt5_embd))
+    clip = jax.random.normal(jax.random.PRNGKey(3), (2, base.clip_embd))
+    with pltpu.force_tpu_interpret_mode():
+        want = model.apply({"params": params}, x, r, byt5, clip)
+        got = model.apply({"params": qparams}, x, r, byt5, clip)
+    w, g = np.asarray(want), np.asarray(got)
+    # per-channel weight-only int8: logits stay close, rankings barely move
+    rel = np.abs(g - w).mean() / (np.abs(w).mean() + 1e-9)
+    assert rel < 0.05, rel
+    agree = (g.argmax(-1) == w.argmax(-1)).mean()
+    assert agree > 0.98, agree
+
+
+def test_int8_requires_fused_path():
+    import pytest
+
+    from paella_tpu.models import Paella, init_params
+
+    base = dataclasses.replace(
+        PaellaConfig.tiny(),
+        c_hidden=(128, 128),
+        nhead=(-1, 4),
+        blocks=(2, 3),
+        level_config=("CT", "CTA"),
+        dropout=(0.0, 0.0),
+        fused_blocks=False,  # int8 codes would hit the raw XLA Dense path
+    )
+    model = Paella(base)
+    params = init_params(model, jax.random.PRNGKey(0), latent_hw=(16, 16))
+    qparams = quantize_paella_int8(params, levels=(0, 1))
+    x = jnp.zeros((1, 16, 16), jnp.int32)
+    with pytest.raises(ValueError, match="int8"):
+        model.apply(
+            {"params": qparams}, x, jnp.ones((1,)),
+            jnp.zeros((1, 4, base.byt5_embd)), jnp.zeros((1, base.clip_embd)),
+        )

@@ -464,6 +464,9 @@ class Paella(nn.Module):
                     out = attn(out, idx)
                 return out, None
 
+            # NB measured: unrolling this scan (full or chunks of 5) does NOT
+            # help — the per-repetition cost is op time, not loop overhead
+            # (84.5 vs 84.8 ms module wall) — so keep the compact loop.
             h, _ = jax.lax.scan(body, h, jnp.arange(reps))
             return h
 

@@ -40,6 +40,11 @@ class PaellaConfig:
     # (kernels/resblock.py). Parameter tree is identical either way; blocks
     # whose activations exceed the kernel's VMEM budget fall back to XLA.
     fused_blocks: bool = False
+    # Evaluate whole attention blocks with kernels/attn_block.py in the fused
+    # loop. Measured SLOWER than XLA attention on v5e (89.7 vs 84.5 ms
+    # sampler module wall; head-padding FLOPs and in-kernel relayouts outweigh
+    # the dispatch savings) — kept for other geometries/hardware.
+    attn_block_kernel: bool = False
 
     @property
     def compute_dtype(self):

@@ -62,7 +62,7 @@ def gumbel_categorical(
     key: Array,
     logits: Array,
     temperature,
-    tile_m: int = 256,
+    tile_m: int = 128,  # 256 blew the 16 MB VMEM scoped limit (19.2M stack)
     interpret: bool = False,
 ) -> Array:
     """Sample token ids ~ categorical(softmax(logits / temperature)).

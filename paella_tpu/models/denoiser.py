@@ -412,6 +412,71 @@ class Paella(nn.Module):
                 w_o = pa_att["o"]["kernel"].astype(dtype)
                 b_o = pa_att["o"]["bias"].astype(dtype)
 
+                c_i = cfg.c_hidden[i]
+                b_, hh_, ww_ = h.shape[0], h.shape[1], h.shape[2]
+                s_c = kv_all.shape[2]
+                # the kernel pads heads to 128 lanes (Mosaic can't shape-cast
+                # 80-lane heads); its padded qkv scratch must fit VMEM — true
+                # for the small deep levels where dispatch overhead dominates
+                qkv_scratch = (
+                    b_ * (hh_ * ww_ + s_c) * 3 * nhead * 128 * jnp.dtype(dtype).itemsize
+                )
+                use_attn_kernel = (
+                    cfg.attn_block_kernel
+                    and cond_reweight is None
+                    and c_i % 128 == 0
+                    and nhead % 2 == 0
+                    and qkv_scratch <= 4_500_000
+                )
+                if use_attn_kernel:
+                    from ..kernels.attn_block import (
+                        fused_attn_block_stacked,
+                        pad_attn_weights,
+                    )
+
+                    wqkv = jnp.concatenate([w_q, w_kv], axis=-1)  # (R, c, 3c)
+                    bqkv = jnp.concatenate([b_q, b_kv], axis=-1)
+                    # padded OUTSIDE the scan: lax.scan re-executes invariant
+                    # body computations every iteration (traced: 120 us/rep)
+                    wqkv_p, bqkv_p, wo_p = pad_attn_weights(wqkv, bqkv, w_o, nhead)
+                    c3p = 3 * nhead * 128
+                    tile = 512 if c3p % 512 == 0 else 128
+                    chunk = 4 if nhead % 4 == 0 else 2
+
+                    def attn(x, idx):
+                        return fused_attn_block_stacked(
+                            x, kv_all, wqkv_p, bqkv_p, wo_p, b_o, idx, nhead,
+                            cond_mask=cond_mask, head_chunk=chunk,
+                            tile_qkv=tile, tile_o=128 if c_i % 256 else 256,
+                        )
+
+                    h, _ = jax.lax.scan(
+                        lambda hh, idx: (
+                            attn(
+                                fused_resblock_stacked(
+                                    hh.astype(dtype),
+                                    p_c["depthwise"]["kernel"],
+                                    p_c["depthwise"]["bias"],
+                                    cw["fc1"]["kernel"],
+                                    cw["fc1"]["bias"],
+                                    cw["grn"]["gamma"],
+                                    cw["grn"]["beta"],
+                                    cw["fc2"]["kernel"],
+                                    cw["fc2"]["bias"],
+                                    idx,
+                                    film_ab=film_all,
+                                    fc1_scale=cw["fc1"].get("kernel_scale"),
+                                    fc2_scale=cw["fc2"].get("kernel_scale"),
+                                ),
+                                idx,
+                            ),
+                            None,
+                        ),
+                        h,
+                        jnp.arange(reps),
+                    )
+                    return h
+
                 def attn(x, idx):
                     """AttnBlock math (nn/blocks.py::AttnBlock) on per-rep
                     dynamically-indexed params; parity pinned by

@@ -97,7 +97,10 @@ def test_fused_blocks_model_parity():
         level_config=("CT", "CTA"),
         dropout=(0.0, 0.0),
     )
-    fused_cfg = dataclasses.replace(base, fused_blocks=True)
+    # attn_block_kernel=True also routes eligible repetitions through the
+    # fused attention-block kernel (off by default — measured slower on v5e —
+    # but its in-model path stays pinned here)
+    fused_cfg = dataclasses.replace(base, fused_blocks=True, attn_block_kernel=True)
     model = Paella(base)
     model_fused = Paella(fused_cfg)
 

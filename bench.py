@@ -44,9 +44,7 @@ def main():
     from paella_tpu.models import Paella, init_params
     from paella_tpu.sampling import Conditioning, sample
 
-    p_cfg = dataclasses.replace(
-        PaellaConfig.v1_byt5_xl(), dtype="bfloat16", fused_blocks=True
-    )
+    p_cfg = PaellaConfig.v1_byt5_xl_inference()
     v_cfg = dataclasses.replace(VQConfig(), dtype="bfloat16")
     model = Paella(p_cfg)
     vq = VQModel(v_cfg)

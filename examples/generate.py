@@ -33,7 +33,7 @@ def build_pipeline(args):
         from paella_tpu.convert import convert_paella, load_torch_state_dict
         from paella_tpu.cond.loader import load_byt5, load_vqgan
 
-        p_cfg = dataclasses.replace(PaellaConfig.v1_byt5_xl(), dtype="bfloat16")
+        p_cfg = PaellaConfig.v1_byt5_xl_inference()
         model = Paella(p_cfg)
         params = jax.tree_util.tree_map(
             jnp.asarray, convert_paella(load_torch_state_dict(args.denoiser), p_cfg)

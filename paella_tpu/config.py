@@ -57,6 +57,12 @@ class PaellaConfig:
         return cls(byt5_embd=2560)
 
     @classmethod
+    def v1_byt5_xl_inference(cls) -> "PaellaConfig":
+        """The flagship config on the measured-fastest inference path: bf16
+        compute + the fused ResBlock/FiLM Pallas kernel (bench.py's setup)."""
+        return cls(byt5_embd=2560, dtype="bfloat16", fused_blocks=True)
+
+    @classmethod
     def tiny(cls) -> "PaellaConfig":
         """Small config for tests and dry runs."""
         return cls(

@@ -34,9 +34,7 @@ def main():
     from paella_tpu.sampling import Conditioning, fast_key, sample
 
     b = args.batch
-    p_cfg = dataclasses.replace(
-        PaellaConfig.v1_byt5_xl(), dtype="bfloat16", fused_blocks=True
-    )
+    p_cfg = PaellaConfig.v1_byt5_xl_inference()
     model = Paella(p_cfg)
     params = init_params(model, jax.random.PRNGKey(0), latent_hw=(64, 64))
     params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params)

@@ -1,6 +1,5 @@
 """Shared test helpers."""
 import jax
-import jax.numpy as jnp
 
 
 def perturb(params, key, scale=0.02):

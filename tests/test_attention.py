@@ -1,6 +1,5 @@
 """MultiheadAttention parity with torch.nn.MultiheadAttention semantics, and the
 mask/reweight extensions the TPU sampler relies on."""
-import jax
 import jax.numpy as jnp
 import numpy as np
 import torch

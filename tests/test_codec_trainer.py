@@ -1,7 +1,6 @@
 """Codec (VQGAN) pretraining step: losses finite, recon improves, discriminator
 spectral-norm state updates."""
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from paella_tpu.codec import Discriminator, VQModel

@@ -5,7 +5,6 @@ without paying for real 1B arrays. ~70 s of XLA CPU compile; runs once.
 """
 import jax
 import jax.numpy as jnp
-import pytest
 
 from paella_tpu.config import PaellaConfig, TrainConfig, VQConfig
 from paella_tpu.codec import VQModel

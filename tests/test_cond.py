@@ -4,7 +4,6 @@ tokenizer."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 import torch
 
 from paella_tpu.cond import (

@@ -4,7 +4,6 @@ same shapes — and the converted VQGAN must run."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 import flax
 

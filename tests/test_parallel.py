@@ -4,7 +4,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from paella_tpu.config import PaellaConfig, TrainConfig, VQConfig
 from paella_tpu.codec import VQModel

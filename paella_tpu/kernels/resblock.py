@@ -45,6 +45,45 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
+def fuse_mode(
+    x_shape,
+    dtype,
+    c: int,
+    kernel_size: int,
+    with_skip: bool = False,
+    vmem_budget: int = 14 * 2**20,
+) -> Optional[str]:
+    """Static gate for the fused ResBlock kernel.
+
+    Returns the grid mode, or None when the block must stay on the XLA path:
+      "full"  — all batch rows share one (B*HW, 4C) VMEM scratch (one matmul
+                per weight tile; best when it fits).
+      "batch" — batch is the outer grid dimension, scratch is per-batch-item
+                (GRN stats are per-batch anyway). This is what lets the 1B
+                level-0 blocks (2 x 32^2 x 640 tokens) fuse. Weight tiles
+                stream once per batch item, which overlaps the fc compute.
+
+    The budget models TOTAL VMEM: activations scratch (xn + h), the resident
+    input blocks (x, plus the two deinterleaved skip planes when with_skip),
+    and the double-buffered fc weight tiles — calibrated so the largest
+    measured-good configuration (level-1 full-batch, ~13.1 MB by this model)
+    passes while a measured-OOM one (up-level-1 skip full-batch: model 15.7 MB,
+    actual 16.85 M vs the 16 M scoped-vmem limit) falls back to "batch".
+    """
+    b, h, w, ch = x_shape
+    if ch != c or kernel_size != 3 or c % 128 or (4 * c) % 512:
+        return None
+    itemsize = jnp.dtype(dtype).itemsize
+    in_planes = 3 if with_skip else 1  # x (+ xa, xb)
+    weights = (c * 512 + 4 * c * 128) * 2 * itemsize  # double-buffered fc tiles
+    per_batch_act = h * w * (5 + in_planes) * c * itemsize
+    if b * per_batch_act + weights <= vmem_budget:
+        return "full"
+    if per_batch_act + weights <= vmem_budget:
+        return "batch"
+    return None
+
+
 def _erf(x: Array) -> Array:
     """erf for Mosaic (the erf/erfc primitives have no Pallas TPU lowering):
     Abramowitz & Stegun 7.1.26, max abs error 1.5e-7 — far below bf16
@@ -68,25 +107,12 @@ def _gelu_exact(x: Array) -> Array:
 def _kernel(
     idx_ref,      # scalar prefetch: (1,) repetition index
     # inputs (VMEM refs; weights carry a leading singleton rep axis)
-    x_ref,        # (B, H, W, C)
-    dw_w_ref,     # (1, 3, 3, 1, C)
-    dw_b_ref,     # (1, 1, C)
-    w1_ref,       # (1, C, TN1)   fc1 tile
-    b1_ref,       # (1, 1, TN1)
-    gamma_ref,    # (1, 1, 4C) f32
-    beta_ref,     # (1, 1, 4C) f32
-    w2_ref,       # (1, 4C, TN2)  fc2 tile
-    b2_ref,       # (1, 1, TN2)
-    s1_ref,       # (1, 1, TN1) f32 per-out-channel fc1 scales (int8 mode)
-    s2_ref,       # (1, 1, TN2) f32 per-out-channel fc2 scales (int8 mode)
-    film_ref,     # (1, B, 2C) [a | b], or (1, B, 2) dummy when film is off
-    # output
-    o_ref,        # (B, H, W, TN2) block of the result
-    # scratch
-    xn_ref,       # (B*H*W, C) — normalized depthwise output (phase 0)
-    h_ref,        # (B*H*W, 4C) — gelu(fc1) then GRN-scaled in place
-    gx_ref,       # (B, 4C) f32 — per-channel L2 norms over space
-    *,
+    x_ref,        # (B, H, W, C) — residual (and, cpg=1, depthwise input)
+    *refs,        # [xa, xb (cpg=2 only)], dw_w (1,3,3,cpg,C), dw_b (1,1,C),
+                  # w1 (1,C,TN1), b1, gamma (1,1,4C) f32, beta, w2 (1,4C,TN2),
+                  # b2, s1, s2 (int8 scales), film (1,B,2C) — then the output
+                  # o (B,H,W,TN2) and scratch xn (B*HW,C), h (B*HW,4C),
+                  # gx (B,4C) f32
     n_t1: int,
     n_t2: int,
     tn1: int,
@@ -96,24 +122,43 @@ def _kernel(
     hw: int,
     with_film: bool,
     quantized: bool,
+    batch_grid: bool = False,
+    cpg: int = 1,
     eps_grn: float = 1e-6,
     eps_ln: float = 1e-6,  # layer_norm parity: nn/functional.py eps=1e-6
 ):
-    step = pl.program_id(0)
+    if cpg == 2:
+        # skip-concat block: the grouped conv's per-group channel pair comes
+        # deinterleaved as two planes (see fused_resblock_stacked)
+        xa_ref, xb_ref = refs[0], refs[1]
+        refs = refs[2:]
+        dw_inputs = (xa_ref, xb_ref)
+    else:
+        dw_inputs = (x_ref,)
+    (dw_w_ref, dw_b_ref, w1_ref, b1_ref, gamma_ref, beta_ref, w2_ref, b2_ref,
+     s1_ref, s2_ref, film_ref, o_ref, xn_ref, h_ref, gx_ref) = refs
+
+    # batch-grid mode: grid=(B, steps); each batch item replays the phase
+    # sequence with per-batch scratch (b below is the 1-row block, not B)
+    step = pl.program_id(1) if batch_grid else pl.program_id(0)
     dtype = x_ref.dtype
 
     # ---- phase 0 (first grid step): depthwise conv + LayerNorm into xn ----
     @pl.when(step == 0)
     def _phase0():
-        x = x_ref[...].astype(jnp.float32)  # (B, H, W, C)
-        _, hh, ww, _ = x.shape
-        # 3x3 depthwise as 9 shifted multiply-adds over a zero-padded copy
-        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-        acc = jnp.zeros(x.shape, jnp.float32)
-        for ky in range(3):
-            for kx in range(3):
-                w = dw_w_ref[0, ky, kx, 0, :].astype(jnp.float32)  # (C,)
-                acc = acc + xp[:, ky : ky + hh, kx : kx + ww, :] * w
+        # 3x3 depthwise as 9 shifted multiply-adds per input plane over a
+        # zero-padded copy
+        acc = None
+        for j, ref in enumerate(dw_inputs):
+            x = ref[...].astype(jnp.float32)  # (B, H, W, C)
+            _, hh, ww, _ = x.shape
+            xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            if acc is None:
+                acc = jnp.zeros(x.shape, jnp.float32)
+            for ky in range(3):
+                for kx in range(3):
+                    w = dw_w_ref[0, ky, kx, j, :].astype(jnp.float32)  # (C,)
+                    acc = acc + xp[:, ky : ky + hh, kx : kx + ww, :] * w
         acc = acc + dw_b_ref[0, 0, :].astype(jnp.float32)
         # affine-free LayerNorm over channels, f32 stats
         mean = jnp.mean(acc, axis=-1, keepdims=True)
@@ -190,7 +235,7 @@ def _kernel(
 
 def fused_resblock_stacked(
     x: Array,
-    dw_kernel: Array,   # (R, 3, 3, 1, C)
+    dw_kernel: Array,   # (R, 3, 3, cpg, C); cpg=2 iff skip is not None
     dw_bias: Array,     # (R, C)
     fc1_kernel: Array,  # (R, C, 4C)
     fc1_bias: Array,    # (R, 4C)
@@ -206,11 +251,22 @@ def fused_resblock_stacked(
     fc2_scale: Optional[Array] = None,  # (R, C) f32: fc2_kernel is int8
     tile_n1: int = 512,
     tile_n2: int = 128,
+    batch_grid: bool = False,
+    skip: Optional[Array] = None,
     interpret: bool = False,
 ) -> Array:
     """Fused ResBlock(+FiLM) over scan-stacked weights. The repetition index is
     a scalar-prefetch argument, so the stacked arrays are consumed in place —
     no per-step weight slice is ever materialized in HBM.
+
+    batch_grid=True iterates the batch as the outer grid dimension with
+    per-batch-item VMEM scratch — see fuse_mode's "batch" case.
+
+    skip: (B, H, W, C) UNet skip, channel-concatenated before the depthwise
+    conv (reference: src/modules.py:56-57). The grouped conv with groups=C over
+    the 2C concat reads channels (2g, 2g+1) per group g, so the concat is
+    deinterleaved here into two planes and the kernel runs 18 shifted MACs
+    against dw_kernel's two input planes. The residual stays x.
 
     Weight-only int8 (quant.py): pass int8 fc1/fc2 kernels with their
     per-out-channel f32 scales; the kernel streams half the weight bytes and
@@ -220,6 +276,8 @@ def fused_resblock_stacked(
     hw = hh * ww
     c4 = fc1_kernel.shape[-1]
     assert c4 % tile_n1 == 0 and c % tile_n2 == 0, (c4, tile_n1, c, tile_n2)
+    cpg = 2 if skip is not None else 1
+    assert dw_kernel.shape[3] == cpg, (dw_kernel.shape, cpg)
     n_t1 = c4 // tile_n1
     n_t2 = c // tile_n2
     dtype = x.dtype
@@ -237,57 +295,88 @@ def fused_resblock_stacked(
     kern = functools.partial(
         _kernel,
         n_t1=n_t1, n_t2=n_t2, tn1=tile_n1, tn2=tile_n2,
-        c=c, b=b, hw=hw, with_film=with_film, quantized=quantized,
+        c=c, b=1 if batch_grid else b, hw=hw,
+        with_film=with_film, quantized=quantized, batch_grid=batch_grid,
+        cpg=cpg,
     )
 
-    def at_rep(*block):
-        return lambda i, s: (s[0], *block)
+    if batch_grid:
+        # grid = (batch, phase steps); index maps take (ib, i, scalars)
+        def at_rep(*block):
+            return lambda ib, i, s: (s[0], *block)
+
+        def fc1_idx(ib, i, s, n1=n_t1):
+            return (s[0], 0, jnp.minimum(i, n1 - 1))
+
+        def fc2_idx(ib, i, s, n1=n_t1, n2=n_t2):
+            return (s[0], 0, jnp.clip(i - n1, 0, n2 - 1))
+
+        grid = (b, n_t1 + n_t2)
+        x_spec = pl.BlockSpec((1, hh, ww, c), lambda ib, i, s: (ib, 0, 0, 0))
+        # film is staged (R*B, 1, 2C): Mosaic requires the last two block dims
+        # divisible by (8, 128) or equal to the array dims, so the per-(rep,
+        # batch) row must be the LEADING axis
+        film = film.reshape(r * b, 1, film.shape[2])
+        film_spec = pl.BlockSpec(
+            (1, 1, film.shape[2]), lambda ib, i, s, nb=b: (s[0] * nb + ib, 0, 0)
+        )
+        out_spec = pl.BlockSpec(
+            (1, hh, ww, tile_n2),
+            lambda ib, i, s, n1=n_t1, n2=n_t2: (ib, 0, 0, jnp.clip(i - n1, 0, n2 - 1)),
+        )
+        scratch_rows = hw
+        gx_rows = 1
+    else:
+        def at_rep(*block):
+            return lambda i, s: (s[0], *block)
+
+        def fc1_idx(i, s, n1=n_t1):
+            return (s[0], 0, jnp.minimum(i, n1 - 1))
+
+        def fc2_idx(i, s, n1=n_t1, n2=n_t2):
+            return (s[0], 0, jnp.clip(i - n1, 0, n2 - 1))
+
+        grid = (n_t1 + n_t2,)
+        x_spec = pl.BlockSpec((b, hh, ww, c), lambda i, s: (0, 0, 0, 0))
+        film_spec = pl.BlockSpec((1,) + film.shape[1:], at_rep(0, 0))
+        out_spec = pl.BlockSpec(
+            (b, hh, ww, tile_n2),
+            lambda i, s, n1=n_t1, n2=n_t2: (0, 0, 0, jnp.clip(i - n1, 0, n2 - 1)),
+        )
+        scratch_rows = b * hw
+        gx_rows = b
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_t1 + n_t2,),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((b, hh, ww, c), lambda i, s: (0, 0, 0, 0)),          # x
-            pl.BlockSpec((1, 3, 3, 1, c), at_rep(0, 0, 0, 0)),                # dw_w
+            x_spec,                                                           # x
+            *([x_spec, x_spec] if cpg == 2 else []),                          # xa, xb
+            pl.BlockSpec((1, 3, 3, cpg, c), at_rep(0, 0, 0, 0)),              # dw_w
             pl.BlockSpec((1, 1, c), at_rep(0, 0)),                            # dw_b
-            pl.BlockSpec(                                                      # fc1 tile
-                (1, c, tile_n1),
-                lambda i, s, n1=n_t1: (s[0], 0, jnp.minimum(i, n1 - 1)),
-            ),
-            pl.BlockSpec(
-                (1, 1, tile_n1),
-                lambda i, s, n1=n_t1: (s[0], 0, jnp.minimum(i, n1 - 1)),
-            ),
+            pl.BlockSpec((1, c, tile_n1), fc1_idx),                           # fc1 tile
+            pl.BlockSpec((1, 1, tile_n1), fc1_idx),
             pl.BlockSpec((1, 1, c4), at_rep(0, 0)),                           # gamma
             pl.BlockSpec((1, 1, c4), at_rep(0, 0)),                           # beta
-            pl.BlockSpec(                                                      # fc2 tile
-                (1, c4, tile_n2),
-                lambda i, s, n1=n_t1, n2=n_t2: (s[0], 0, jnp.clip(i - n1, 0, n2 - 1)),
-            ),
-            pl.BlockSpec(
-                (1, 1, tile_n2),
-                lambda i, s, n1=n_t1, n2=n_t2: (s[0], 0, jnp.clip(i - n1, 0, n2 - 1)),
-            ),
-            pl.BlockSpec(                                                      # s1 tile
-                (1, 1, tile_n1),
-                lambda i, s, n1=n_t1: (s[0], 0, jnp.minimum(i, n1 - 1)),
-            ),
-            pl.BlockSpec(                                                      # s2 tile
-                (1, 1, tile_n2),
-                lambda i, s, n1=n_t1, n2=n_t2: (s[0], 0, jnp.clip(i - n1, 0, n2 - 1)),
-            ),
-            pl.BlockSpec((1,) + film.shape[1:], at_rep(0, 0)),                # film
+            pl.BlockSpec((1, c4, tile_n2), fc2_idx),                          # fc2 tile
+            pl.BlockSpec((1, 1, tile_n2), fc2_idx),
+            pl.BlockSpec((1, 1, tile_n1), fc1_idx),                           # s1 tile
+            pl.BlockSpec((1, 1, tile_n2), fc2_idx),                           # s2 tile
+            film_spec,                                                        # film
         ],
-        out_specs=pl.BlockSpec(
-            (b, hh, ww, tile_n2),
-            lambda i, s, n1=n_t1, n2=n_t2: (0, 0, 0, jnp.clip(i - n1, 0, n2 - 1)),
-        ),
+        out_specs=out_spec,
         scratch_shapes=[
-            pltpu.VMEM((b * hw, c), dtype),       # xn: normalized depthwise out
-            pltpu.VMEM((b * hw, c4), dtype),      # h: gelu(fc1), GRN-scaled
-            pltpu.VMEM((b, c4), jnp.float32),     # gx: per-channel L2 stats
+            pltpu.VMEM((scratch_rows, c), dtype),   # xn: normalized depthwise out
+            pltpu.VMEM((scratch_rows, c4), dtype),  # h: gelu(fc1), GRN-scaled
+            pltpu.VMEM((gx_rows, c4), jnp.float32), # gx: per-channel L2 stats
         ],
     )
+
+    if cpg == 2:
+        cc = jnp.concatenate([x, skip.astype(dtype)], axis=-1)
+        dw_operands = (cc[..., 0::2], cc[..., 1::2])
+    else:
+        dw_operands = ()
 
     return pl.pallas_call(
         kern,
@@ -297,6 +386,7 @@ def fused_resblock_stacked(
     )(
         jnp.asarray(rep_idx, jnp.int32).reshape(1),
         x,
+        *dw_operands,
         dw_kernel.astype(dtype),
         dw_bias.astype(dtype)[:, None, :],
         fc1_kernel if quantized else fc1_kernel.astype(dtype),
@@ -324,12 +414,15 @@ def fused_resblock(
     film_ab: Optional[Array] = None,
     tile_n1: int = 512,
     tile_n2: int = 128,
+    batch_grid: bool = False,
+    skip: Optional[Array] = None,
     interpret: bool = False,
 ) -> Array:
     """Single-repetition fused ResBlock(+FiLM): unstacked weights (the
     materialized first repetition of a level). See fused_resblock_stacked.
 
-    x: (B, H, W, C). dw_kernel: (3,3,1,C) true-depthwise (cpg=1).
+    x: (B, H, W, C). dw_kernel: (3,3,1,C) true-depthwise (cpg=1), or
+    (3,3,2,C) with skip (the UNet skip-concat first repetition).
     fc1: (C, 4C); fc2: (4C, C); grn gamma/beta: (4C,).
     film_ab: (B, 2C) — TimestepBlock mapper output [a | b], or None.
     """
@@ -347,5 +440,7 @@ def fused_resblock(
         film_ab=None if film_ab is None else film_ab[None],
         tile_n1=tile_n1,
         tile_n2=tile_n2,
+        batch_grid=batch_grid,
+        skip=skip,
         interpret=interpret,
     )

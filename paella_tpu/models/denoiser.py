@@ -42,18 +42,16 @@ from ..nn.blocks import (
 )
 
 
-def _can_fuse_resblock(x, c: int, kernel_size: int, vmem_budget: int = 8 * 2**20) -> bool:
-    """Static gate for the fused ResBlock kernel: tile-aligned channels and
-    VMEM-resident scratch (hidden (tokens, 4c) + input/normalized copies).
-    Blocks that fail (e.g. level 0 at 256^2: 15.7 MB bf16) keep the XLA path —
-    the parameter tree is identical either way."""
-    b, h, w, ch = x.shape
-    if ch != c or kernel_size != 3 or c % 128 or (4 * c) % 512:
-        return False
-    itemsize = jnp.dtype(x.dtype).itemsize
-    scratch = b * h * w * (4 * c + 2 * c) * itemsize
-    return scratch <= vmem_budget
+from ..kernels.resblock import fuse_mode
 from ..nn.functional import depth_to_space, layer_norm, sinusoidal_embedding, space_to_depth
+
+
+def _can_fuse_resblock(x, c: int, kernel_size: int, with_skip: bool = False) -> bool:
+    """Static gate for the fused ResBlock kernel (kernels/resblock.py::fuse_mode):
+    tile-aligned channels and VMEM-resident scratch — full-batch when it fits,
+    per-batch-item grid otherwise (how the 1B level-0 blocks fuse). Blocks that
+    fail both keep the XLA path; the parameter tree is identical either way."""
+    return fuse_mode(x.shape, x.dtype, c, kernel_size, with_skip=with_skip) is not None
 
 Array = jax.Array
 
@@ -294,12 +292,15 @@ class Paella(nn.Module):
             while k < len(seq):
                 bt = seq[k]
                 name = f"{prefix}_{i}_0_{k}_{bt}"
+                x_skip = skip if k == 0 else None
                 if (
                     bt == "C"
                     and cfg.fused_blocks
                     and deterministic
-                    and not (skip is not None and k == 0)
-                    and _can_fuse_resblock(h, cfg.c_hidden[i], cfg.kernel_size)
+                    and (x_skip is None or x_skip.shape[-1] == cfg.c_hidden[i])
+                    and _can_fuse_resblock(
+                        h, cfg.c_hidden[i], cfg.kernel_size, with_skip=x_skip is not None
+                    )
                 ):
                     film_ab = None
                     consumed = 1
@@ -311,11 +312,12 @@ class Paella(nn.Module):
                         consumed = 2
                     h = FusedResBlock(
                         cfg.c_hidden[i],
+                        c_skip=0 if x_skip is None else x_skip.shape[-1],
                         kernel_size=cfg.kernel_size,
                         out_init_scale=out_scale,
                         dtype=dtype,
                         name=name,
-                    )(h, film_ab)
+                    )(h, film_ab, x_skip=x_skip)
                     k += consumed
                     continue
                 if bt == "C":
@@ -369,6 +371,7 @@ class Paella(nn.Module):
             reps = cfg.blocks[i] - 1
             p_c = stacked["0_C"]
             cw = p_c["channelwise"]
+            bgrid = fuse_mode(h.shape, h.dtype, cfg.c_hidden[i], cfg.kernel_size) == "batch"
 
             film_all = None
             if len(pattern) > 1 and pattern[1] == "T":
@@ -467,6 +470,7 @@ class Paella(nn.Module):
                                     film_ab=film_all,
                                     fc1_scale=cw["fc1"].get("kernel_scale"),
                                     fc2_scale=cw["fc2"].get("kernel_scale"),
+                                    batch_grid=bgrid,
                                 ),
                                 idx,
                             ),
@@ -524,6 +528,7 @@ class Paella(nn.Module):
                     # weight-only int8 (quant.quantize_paella_int8) rides along
                     fc1_scale=cw["fc1"].get("kernel_scale"),
                     fc2_scale=cw["fc2"].get("kernel_scale"),
+                    batch_grid=bgrid,
                 )
                 if attn is not None:
                     out = attn(out, idx)

@@ -190,25 +190,37 @@ class FusedResBlock(nn.Module):
     IDENTICAL to ResBlock's (same names, shapes, inits), so checkpoints and
     init_params are interchangeable between the fused and unfused paths.
 
-    Inference-only (the kernel has no VJP); training uses ResBlock. No
-    skip-concat support — first repetitions consuming the UNet skip stay on
-    the XLA path.
+    c_skip=c supports the UNet skip-concat first repetitions (the kernel
+    deinterleaves the grouped-conv channel pairs; see fused_resblock_stacked).
+
+    Inference-only (the kernel has no VJP); training uses ResBlock.
     """
 
     c: int
+    c_skip: int = 0
     kernel_size: int = 3
     out_init_scale: float = 1.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, film_ab: Optional[Array] = None) -> Array:
-        from ..kernels.resblock import fused_resblock
+    def __call__(
+        self,
+        x: Array,
+        film_ab: Optional[Array] = None,
+        x_skip: Optional[Array] = None,
+    ) -> Array:
+        from ..kernels.resblock import fuse_mode, fused_resblock
 
         kh = self.kernel_size
-        dwp = _DWParams(self.c, (kh, kh), name="depthwise")()
+        cpg = (self.c + self.c_skip) // self.c
+        assert self.c_skip in (0, self.c), self.c_skip  # callers gate on this
+        assert (x_skip is not None) == (self.c_skip > 0)
+        dwp = _DWParams(self.c, (kh, kh), cpg=cpg, name="depthwise")()
         fc1, grn, fc2 = _ChannelwiseParams(
             self.c, self.out_init_scale, name="channelwise"
         )()
+        mode = fuse_mode(x.shape, self.dtype, self.c, kh, with_skip=cpg == 2)
+        assert mode is not None, (x.shape, self.c)  # callers gate on fuse_mode
         return fused_resblock(
             x.astype(self.dtype),
             dwp[0], dwp[1],
@@ -216,19 +228,22 @@ class FusedResBlock(nn.Module):
             grn[0], grn[1],
             fc2[0], fc2[1],
             film_ab=None if film_ab is None else film_ab.astype(self.dtype),
+            batch_grid=mode == "batch",
+            skip=None if x_skip is None else x_skip.astype(self.dtype),
         )
 
 
 class _DWParams(nn.Module):
-    """Mirrors GroupedDepthwiseConv's param tree for cpg=1."""
+    """Mirrors GroupedDepthwiseConv's param tree (cpg channels per group)."""
 
     features: int
     kernel_size: Tuple[int, int]
+    cpg: int = 1
 
     @nn.compact
     def __call__(self):
         kh, kw = self.kernel_size
-        k = self.param("kernel", tinit.xavier_uniform(), (kh, kw, 1, self.features))
+        k = self.param("kernel", tinit.xavier_uniform(), (kh, kw, self.cpg, self.features))
         b = self.param("bias", tinit.zeros, (self.features,))
         return k, b
 

@@ -28,6 +28,9 @@ def test_two_process_initialize_and_allreduce():
         # the workers provision their own platform; scrub the suite's settings
         "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
         "JAX_PLATFORMS": "cpu",
+        # the worker is a plain script: python puts ITS directory on sys.path,
+        # not the repo root, so paella_tpu must come via PYTHONPATH
+        "PYTHONPATH": os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     }
     procs = [
         subprocess.Popen(

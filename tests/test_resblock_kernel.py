@@ -13,12 +13,13 @@ from paella_tpu.kernels.resblock import fused_resblock
 from paella_tpu.nn.functional import gelu, layer_norm
 
 
-def reference_resblock(x, dw_k, dw_b, w1, b1, gamma, beta, w2, b2, film_ab=None):
+def reference_resblock(x, dw_k, dw_b, w1, b1, gamma, beta, w2, b2, film_ab=None, skip=None):
     """The exact op sequence of ResBlock (nn/blocks.py) + TimestepBlock,
     composed from the same primitives the flax modules use."""
     x_res = x
+    xin = x if skip is None else jnp.concatenate([x, skip], axis=-1)
     h = jax.lax.conv_general_dilated(
-        x, dw_k, (1, 1), [(1, 1), (1, 1)],
+        xin, dw_k, (1, 1), [(1, 1), (1, 1)],
         feature_group_count=x.shape[-1],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     ) + dw_b
@@ -53,8 +54,9 @@ def make_inputs(key, b=2, hw=8, c=128, seed_scale=0.5):
     return x, dw_k, dw_b, w1, b1, gamma, beta, w2, b2, film
 
 
+@pytest.mark.parametrize("batch_grid", [False, True])
 @pytest.mark.parametrize("with_film", [False, True])
-def test_fused_resblock_matches_reference(with_film):
+def test_fused_resblock_matches_reference(with_film, batch_grid):
     args = make_inputs(jax.random.PRNGKey(0))
     x, dw_k, dw_b, w1, b1, gamma, beta, w2, b2, film = args
     film_arg = film if with_film else None
@@ -62,10 +64,44 @@ def test_fused_resblock_matches_reference(with_film):
     want = reference_resblock(x, dw_k, dw_b, w1, b1, gamma, beta, w2, b2, film_arg)
     got = fused_resblock(
         x, dw_k, dw_b, w1, b1, gamma, beta, w2, b2, film_ab=film_arg,
-        tile_n1=128, tile_n2=64, interpret=True,
+        tile_n1=128, tile_n2=64, batch_grid=batch_grid, interpret=True,
     )
     assert got.shape == want.shape and got.dtype == want.dtype
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("batch_grid", [False, True])
+def test_fused_resblock_skip_concat(batch_grid):
+    """Skip-concat first-repetition: grouped conv with groups=C over the 2C
+    concat (channel pairs (2g, 2g+1) per group) must match the XLA grouped
+    conv bit-closely."""
+    args = make_inputs(jax.random.PRNGKey(3))
+    x, _, dw_b, w1, b1, gamma, beta, w2, b2, film = args
+    ks = jax.random.split(jax.random.PRNGKey(4), 2)
+    skip = jax.random.normal(ks[0], x.shape) * 0.5
+    dw_k = jax.random.normal(ks[1], (3, 3, 2, x.shape[-1])) * 0.1
+
+    want = reference_resblock(
+        x, dw_k, dw_b, w1, b1, gamma, beta, w2, b2, film, skip=skip
+    )
+    got = fused_resblock(
+        x, dw_k, dw_b, w1, b1, gamma, beta, w2, b2, film_ab=film,
+        tile_n1=128, tile_n2=64, batch_grid=batch_grid, skip=skip, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_fuse_mode_levels():
+    """The 1B flagship CFG-batched geometry: levels 1/2 fuse full-batch, level 0
+    (15.7 MB full-batch hidden scratch) fuses on the per-batch grid."""
+    from paella_tpu.kernels.resblock import fuse_mode
+
+    assert fuse_mode((2, 16, 16, 1280), jnp.bfloat16, 1280, 3) == "full"
+    assert fuse_mode((2, 8, 8, 1280), jnp.bfloat16, 1280, 3) == "full"
+    assert fuse_mode((2, 32, 32, 640), jnp.bfloat16, 640, 3) == "batch"
+    # misaligned channels or oversized grids stay on XLA
+    assert fuse_mode((2, 32, 32, 80), jnp.bfloat16, 80, 3) is None
+    assert fuse_mode((2, 128, 128, 640), jnp.bfloat16, 640, 3) is None
 
 
 def test_fused_resblock_single_tile():

@@ -58,6 +58,112 @@ def _kernel(seed_ref, temp_ref, logits_ref, out_ref, *, k: int, tile_m: int):
     out_ref[...] = jnp.argmax(score, axis=-1).astype(jnp.int32).reshape(-1, 1)
 
 
+def _head_kernel(
+    seed_ref, temp_ref, cfgw_ref,
+    fc_ref,    # (TM, C) conditional features
+    fu_ref,    # (TM, C) unconditional features (dummy (TM, 8) when no CFG)
+    w_ref,     # (C, K) head weight, VMEM-resident across the grid
+    out_ref,   # (TM, 1) int32
+    *,
+    k: int,
+    tile_m: int,
+    with_cfg: bool,
+):
+    i = pl.program_id(0)
+    f = fc_ref[...].astype(jnp.float32)
+    if with_cfg:
+        w = cfgw_ref[0]
+        f = f * w + fu_ref[...].astype(jnp.float32) * (1.0 - w)
+    # CFG mix in f32 then bf16 for the MXU — the exact op order of the
+    # sampler's XLA path (sampling/sampler.py::head), so parity holds.
+    logits = jax.lax.dot_general(
+        f.astype(fc_ref.dtype), w_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (TM, K) — lives only in VMEM; HBM never sees the 8192-wide logits
+    inv_temp = 1.0 / temp_ref[0]
+    rows = jax.lax.broadcasted_iota(jnp.uint32, logits.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.uint32, logits.shape, 1)
+    idx = (jnp.uint32(i * tile_m) + rows) * jnp.uint32(k) + cols
+    h = _mix(idx ^ seed_ref[0].astype(jnp.uint32))
+    u32 = _mix(h + seed_ref[1].astype(jnp.uint32))
+    u24 = pltpu.bitcast(u32 >> 8, jnp.int32)
+    u = u24.astype(jnp.float32) * (2.0**-24) + (2.0**-25)
+    gumbel = -jnp.log(-jnp.log(u))
+    score = logits * inv_temp + gumbel
+    out_ref[...] = jnp.argmax(score, axis=-1).astype(jnp.int32).reshape(-1, 1)
+
+
+def fused_head_categorical(
+    key: Array,
+    feat_c: Array,
+    feat_u,              # Optional[Array]: None disables the CFG mix
+    cfg_weight,          # traced scalar (ignored when feat_u is None)
+    w_out: Array,        # (C, K) linear head, no bias
+    temperature,
+    tile_m: int = 128,
+    interpret: bool = False,
+) -> Array:
+    """tokens = categorical(softmax((mix(feat) @ w_out) / T)) in ONE kernel.
+
+    The flagship head projects 256-dim features to 8192 logits per token —
+    67 MB bf16 per step that the XLA path writes to HBM and the categorical
+    immediately reads back (traced: 90 us head fusion + 313 us categorical
+    + 29 us weight-transpose copy). Here the logits tile stays in VMEM: the
+    head weight (256x8192 bf16 = 4 MB) is resident across the grid, each tile
+    computes its logits on the MXU and Gumbel-argmaxes them in place. The CFG
+    feature mix (sampler.py::head commutes the mix through the linear head)
+    rides along for free.
+
+    The Gumbel noise uses the SAME counter-hash PRNG and global indexing as
+    gumbel_categorical, so draws are bit-identical to it for a given
+    (key, token-count, K).
+
+    feat_c/feat_u: (B, H, W, C) or (M, C). Returns (B, H, W) / (M,) int32.
+    """
+    orig = feat_c.shape[:-1]
+    c = feat_c.shape[-1]
+    k = w_out.shape[-1]
+    with_cfg = feat_u is not None
+    flat_c = feat_c.reshape(-1, c)
+    m = flat_c.shape[0]
+    pad = (-m) % tile_m
+    if pad:
+        flat_c = jnp.pad(flat_c, ((0, pad), (0, 0)))
+    if with_cfg:
+        flat_u = feat_u.reshape(-1, c)
+        if pad:
+            flat_u = jnp.pad(flat_u, ((0, pad), (0, 0)))
+    else:
+        flat_u = jnp.zeros((flat_c.shape[0], 8), flat_c.dtype)
+    mp = flat_c.shape[0]
+
+    data = jax.random.key_data(key).reshape(-1).astype(jnp.uint32)
+    seeds = jnp.stack([data[0], data[-1]]).astype(jnp.int32)
+    temp = jnp.asarray(temperature, jnp.float32).reshape(1)
+    cfgw = jnp.asarray(
+        cfg_weight if with_cfg else 0.0, jnp.float32
+    ).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(mp // tile_m,),
+        in_specs=[
+            pl.BlockSpec((tile_m, c), lambda i, *s: (i, 0)),
+            pl.BlockSpec((tile_m, flat_u.shape[-1]), lambda i, *s: (i, 0)),
+            pl.BlockSpec((c, k), lambda i, *s: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile_m, 1), lambda i, *s: (i, 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_head_kernel, k=k, tile_m=tile_m, with_cfg=with_cfg),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((mp, 1), jnp.int32),
+        interpret=interpret,
+    )(seeds, temp, cfgw, flat_c, flat_u, w_out)
+    return out[:m, 0].reshape(orig)
+
+
 def gumbel_categorical(
     key: Array,
     logits: Array,

@@ -209,30 +209,36 @@ def sample(
                     cond_reweight=cond_reweight,
                     return_features=True,
                 )
-                feat_c, feat_u = jnp.split(feats2.astype(jnp.float32), 2, axis=0)
                 # reference mix: logits*cfg + uncond*(1-cfg)
-                # (src_distributed/utils.py:117), applied pre-head — equivalent
-                # because the head is linear.
-                logits = head(feat_c * cfg_w + feat_u * (1.0 - cfg_w))
+                # (src_distributed/utils.py:117), applied pre-head in f32 —
+                # equivalent because the head is linear.
+                feat_c, feat_u = jnp.split(feats2, 2, axis=0)
             else:
                 # past sampling_conditional_steps the reference runs ONLY the
                 # conditional forward (src_distributed/utils.py:116) — so does
                 # this branch (batch B, conditional conditioning only).
-                feat = _apply_model(
+                feat_c = _apply_model(
                     model, params, sampled, t, conditioning,
                     cond_reweight=cond_reweight, return_features=True,
                 )
-                logits = head(feat)
+                feat_u = None
 
-            # multinomial(softmax(logits/T)) == categorical(logits/T). The f32
-            # convert lives INSIDE the categorical fusion: HBM sees bf16 logits
-            # (half the traffic of materializing f32) while the gumbel argmax
-            # still runs in f32.
+            # multinomial(softmax(logits/T)) == categorical(logits/T).
             if cfg.categorical_impl == "pallas":
-                from ..kernels.sampling import gumbel_categorical
+                # head + CFG mix + Gumbel argmax in ONE kernel: the 8192-wide
+                # logits never touch HBM (traced: the XLA path spent
+                # ~430 us/step writing + re-reading them).
+                from ..kernels.sampling import fused_head_categorical
 
-                new_tokens = gumbel_categorical(k_cat, logits, temp)
+                new_tokens = fused_head_categorical(
+                    k_cat, feat_c, feat_u, cfg_w, w_out.astype(dtype), temp
+                )
             else:
+                if with_cfg:
+                    fc32, fu32 = feat_c.astype(jnp.float32), feat_u.astype(jnp.float32)
+                    logits = head(fc32 * cfg_w + fu32 * (1.0 - cfg_w))
+                else:
+                    logits = head(feat_c)
                 new_tokens = jax.random.categorical(
                     k_cat, logits.astype(jnp.float32) / temp, axis=-1
                 ).astype(jnp.int32)

@@ -9,6 +9,9 @@ The .npz files load with paella_tpu.train.checkpoints.load_params_npz.
 """
 from __future__ import annotations
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 
 

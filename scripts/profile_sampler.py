@@ -7,6 +7,9 @@ block_until_ready + trace harness for TPU performance work.
 """
 from __future__ import annotations
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import dataclasses
 import time
@@ -42,6 +45,9 @@ def main():
     )
     model = Paella(p_cfg)
     params = init_params(model, jax.random.PRNGKey(0), latent_hw=(64, 64))
+    # match bench.py: bf16 inference weights, otherwise every sampler call
+    # re-converts the full stacked f32 weights on device (~0.9 ms x4 traced)
+    params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params)
     k = jax.random.PRNGKey(2)
     cond = Conditioning(
         byt5=jax.random.normal(k, (1, 64, p_cfg.byt5_embd), jnp.bfloat16),
@@ -52,7 +58,7 @@ def main():
         byt5=jax.random.normal(k, (1, 2, p_cfg.byt5_embd), jnp.bfloat16),
         clip=jax.random.normal(k, (1, p_cfg.clip_embd), jnp.bfloat16),
     )
-    s_cfg = SampleConfig(steps=args.steps)
+    s_cfg = SampleConfig(steps=args.steps, categorical_impl="pallas")  # as bench.py
 
     # compile outside the trace
     np.asarray(sample(model, params, fast_key(0), cond, (1, 64, 64), uncond, s_cfg))

@@ -5,7 +5,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from paella_tpu.kernels.sampling import gumbel_categorical
+from paella_tpu.kernels.sampling import fused_head_categorical, gumbel_categorical
 
 
 def test_matches_softmax_distribution():
@@ -42,3 +42,52 @@ def test_shapes_and_padding():
     assert out.shape == (3, 5, 7)
     assert out.dtype == jnp.int32
     assert int(out.min()) >= 0 and int(out.max()) < 16
+
+
+def test_fused_head_matches_composed_path():
+    """fused_head_categorical must draw the SAME tokens as head-matmul followed
+    by gumbel_categorical: identical counter-hash PRNG stream, identical op
+    order (f32 CFG mix -> bf16 matmul -> f32 score)."""
+    kf = jax.random.split(jax.random.PRNGKey(7), 4)
+    b, h, w, c, k = 2, 4, 8, 128, 256
+    feat_c = jax.random.normal(kf[0], (b, h, w, c), jnp.bfloat16)
+    feat_u = jax.random.normal(kf[1], (b, h, w, c), jnp.bfloat16)
+    w_out = (jax.random.normal(kf[2], (c, k)) * 0.1).astype(jnp.bfloat16)
+    key, temp, cfg_w = jax.random.PRNGKey(5), 0.7, 1.8
+
+    # with CFG mix
+    mixed = feat_c.astype(jnp.float32) * cfg_w + feat_u.astype(jnp.float32) * (1 - cfg_w)
+    logits = jnp.dot(mixed.astype(jnp.bfloat16), w_out, preferred_element_type=jnp.float32)
+    want = gumbel_categorical(key, logits, temp, tile_m=64, interpret=True)
+    got = fused_head_categorical(
+        key, feat_c, feat_u, cfg_w, w_out, temp, tile_m=64, interpret=True
+    )
+    assert got.shape == (b, h, w) and got.dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # without CFG (cond-only phase)
+    logits1 = jnp.dot(feat_c, w_out, preferred_element_type=jnp.float32)
+    want1 = gumbel_categorical(key, logits1, temp, tile_m=64, interpret=True)
+    got1 = fused_head_categorical(
+        key, feat_c, None, 0.0, w_out, temp, tile_m=64, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got1), np.asarray(want1))
+
+
+def test_fused_head_distribution():
+    """End-to-end distributional check: draws ~ softmax((f @ W)/T)."""
+    c, k_classes, n = 64, 8, 4096
+    f = jnp.broadcast_to(
+        jax.random.normal(jax.random.PRNGKey(0), (1, c), jnp.bfloat16), (n, c)
+    )
+    w_out = (jax.random.normal(jax.random.PRNGKey(1), (c, k_classes)) * 0.3).astype(
+        jnp.bfloat16
+    )
+    temp = 0.9
+    draws = fused_head_categorical(
+        jax.random.PRNGKey(2), f, None, 0.0, w_out, temp, tile_m=128, interpret=True
+    )
+    logits = jnp.dot(f[:1], w_out, preferred_element_type=jnp.float32)[0]
+    want = np.asarray(jax.nn.softmax(logits.astype(jnp.float32) / temp))
+    counts = np.bincount(np.asarray(draws), minlength=k_classes) / n
+    np.testing.assert_allclose(counts, want, atol=0.03)

@@ -43,7 +43,14 @@ from ..nn.blocks import (
 
 
 from ..kernels.resblock import fuse_mode
-from ..nn.functional import depth_to_space, layer_norm, sinusoidal_embedding, space_to_depth
+from ..nn.blocks import _DenseParams
+from ..nn.functional import (
+    depth_to_space_pmajor,
+    layer_norm,
+    pmajor_permutation,
+    sinusoidal_embedding,
+    space_to_depth_pmajor,
+)
 
 
 def _can_fuse_resblock(x, c: int, kernel_size: int, with_skip: bool = False) -> bool:
@@ -266,7 +273,12 @@ class Paella(nn.Module):
             self._cond_embed_modules(), byt5, clip, clip_image, byt5_mask, clip_mask, clip_image_mask
         )
 
-        # token embed -> patchify -> project (reference: src/modules.py:271)
+        # token embed -> patchify -> project (reference: src/modules.py:271).
+        # The patchify runs in PATCH-MAJOR channel order (contiguous c-blocks
+        # per patch offset — the torch ordering's every-lane interleave made
+        # the transpose shuffle-bound, traced at 40 us/step); the projection
+        # kernel's rows are permuted to compensate, so the params stay in the
+        # torch/checkpoint order and the math is exactly the reference's.
         in_embedding = nn.Embed(
             cfg.num_labels,
             cfg.c_in,
@@ -275,14 +287,15 @@ class Paella(nn.Module):
             name="in_embedding",
         )
         h = layer_norm(in_embedding(x)).astype(dtype)
-        h = space_to_depth(h, cfg.patch_size)
-        h = nn.Dense(
+        h = space_to_depth_pmajor(h, cfg.patch_size)
+        ek, eb = _DenseParams(
+            cfg.c_in * cfg.patch_size**2,
             cfg.c_hidden[0],
-            dtype=dtype,
-            kernel_init=tinit.xavier_uniform(0.02),
-            bias_init=tinit.zeros,
+            tinit.xavier_uniform(0.02),
             name="embedding_conv",
-        )(h)
+        )()
+        perm_in = pmajor_permutation(cfg.c_in, cfg.patch_size)
+        h = jnp.dot(h, jnp.take(ek, perm_in, axis=0).astype(dtype)) + eb.astype(dtype)
         h = layer_norm(h)
 
         def first_rep(prefix: str, i: int, h, skip):
@@ -611,16 +624,26 @@ class Paella(nn.Module):
             if i > 0:
                 h = Upsample(cfg.c_hidden[i - 1], dtype=dtype, name=f"up_{i}_upsample")(h)
 
-        # OUTPUT head (reference: src/modules.py:179-187, 274)
+        # OUTPUT head (reference: src/modules.py:179-187, 274). Same
+        # patch-major trick as the input: clf's output columns are permuted so
+        # the un-patchify moves contiguous c-blocks; params stay torch-ordered.
         h = layer_norm(h)
-        h = nn.Dense(
+        ck, cb = _DenseParams(
+            cfg.c_hidden[0],
             cfg.c_out * cfg.patch_size**2,
-            dtype=dtype,
-            kernel_init=tinit.zeros,
-            bias_init=tinit.zeros,
+            tinit.zeros,
             name="clf_conv",
-        )(h)
-        h = depth_to_space(h, cfg.patch_size)
+        )()
+        perm_out = pmajor_permutation(cfg.c_out, cfg.patch_size)
+        h = (
+            jnp.dot(h.astype(dtype), jnp.take(ck, perm_out, axis=1).astype(dtype))
+            + cb[perm_out].astype(dtype)
+        )
+        h = depth_to_space_pmajor(h, cfg.patch_size)
+        # keep the un-patchify transpose in bf16: without the barrier XLA
+        # fuses the final layer_norm's f32 upcast backward through it and the
+        # copies run at twice the bytes (traced: 80 us/step of f32 copies)
+        h = jax.lax.optimization_barrier(h)
         h = layer_norm(h)
         if return_features:
             # pre-head features (B, H, W, c_out). The head is LINEAR (no bias),

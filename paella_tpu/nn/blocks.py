@@ -450,8 +450,31 @@ class ConvTranspose2dTorch(nn.Module):
         return y + bias.astype(self.dtype)
 
 
+class _Conv2dParams(nn.Module):
+    """Declares a conv's (kernel, bias) param pair without computing — the
+    resampling modules below evaluate the conv as a dot_general instead."""
+
+    kernel_shape: Tuple[int, int, int, int]  # (kh, kw, c_in, c_out)
+    kernel_init: Any
+    bias_init: Any
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", self.kernel_init, self.kernel_shape)
+        b = self.param("bias", self.bias_init, (self.kernel_shape[-1],))
+        return k, b
+
+
 class Downsample(nn.Module):
-    """LN + strided 2x2 conv between UNet levels (reference: src/modules.py:152-156)."""
+    """LN + strided 2x2 conv between UNet levels (reference: src/modules.py:152-156).
+
+    kernel==stride means each output pixel reads a disjoint 2x2 patch, so the
+    conv IS a patch matmul: a single dot_general contracting (p, q, c_in)
+    against the conv kernel in its NATIVE (kh, kw, c_in, c_out) layout. The
+    conv-emitter path cost ~60 us/step of activation layout copies at the 1B
+    sampler geometry; the dot leaves layout choices to the matmul. Param tree
+    (conv/kernel, conv/bias) is unchanged — checkpoints are unaffected.
+    """
 
     c_out: int
     dtype: jnp.dtype = jnp.float32
@@ -459,20 +482,32 @@ class Downsample(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         x = layer_norm(x)
-        return nn.Conv(
-            self.c_out,
-            (2, 2),
-            strides=(2, 2),
-            padding="VALID",
-            dtype=self.dtype,
-            kernel_init=tinit.xavier_uniform(),
-            bias_init=tinit.zeros,
+        kernel, bias = _Conv2dParams(
+            (2, 2, x.shape[-1], self.c_out),
+            tinit.xavier_uniform(),
+            tinit.zeros,
             name="conv",
-        )(x)
+        )()
+        b, hh, ww, c = x.shape
+        x6 = x.reshape(b, hh // 2, 2, ww // 2, 2, c).astype(self.dtype)
+        y = jax.lax.dot_general(
+            x6,
+            kernel.astype(self.dtype),
+            dimension_numbers=(((2, 4, 5), (0, 1, 2)), ((), ())),
+        )  # (b, h/2, w/2, c_out)
+        return y + bias.astype(self.dtype)
 
 
 class Upsample(nn.Module):
-    """LN + 2x2 stride-2 transposed conv (reference: src/modules.py:171-175)."""
+    """LN + 2x2 stride-2 transposed conv (reference: src/modules.py:171-175).
+
+    kernel==stride means no output overlap: out[2i+p, 2j+q, o] =
+    sum_c x[i,j,c] * K[p,q,c,o] — one dot_general over c with the kernel in
+    its native layout, then an interleaving reshape (the same depth_to_space
+    transpose XLA would emit anyway, minus the conv emitter's extra copies).
+    Init matches torch's ConvTranspose2d defaults exactly like
+    ConvTranspose2dTorch (same param tree: conv/kernel, conv/bias).
+    """
 
     c_out: int
     dtype: jnp.dtype = jnp.float32
@@ -480,4 +515,17 @@ class Upsample(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         x = layer_norm(x)
-        return ConvTranspose2dTorch(self.c_out, (2, 2), (2, 2), padding=0, dtype=self.dtype, name="conv")(x)
+        kernel, bias = _Conv2dParams(
+            (2, 2, x.shape[-1], self.c_out),
+            tinit.kaiming_uniform_leaky_transpose(),
+            tinit.torch_default_bias(self.c_out * 2 * 2),  # torch's transpose fan
+            name="conv",
+        )()
+        b, hh, ww, _ = x.shape
+        z = jax.lax.dot_general(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            dimension_numbers=(((3,), (2,)), ((), ())),
+        )  # (b, h, w, p, q, c_out)
+        z = z.transpose(0, 1, 3, 2, 4, 5).reshape(b, hh * 2, ww * 2, self.c_out)
+        return z + bias.astype(self.dtype)

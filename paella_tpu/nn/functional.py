@@ -60,6 +60,45 @@ def depth_to_space(x: jax.Array, r: int) -> jax.Array:
     return x.reshape(b, h * r, w * r, c_out)
 
 
+def space_to_depth_pmajor(x: jax.Array, r: int) -> jax.Array:
+    """space_to_depth with PATCH-MAJOR channel order: out channel
+    (i*r + j)*c + ch — contiguous c-sized lane blocks per patch offset.
+
+    Torch's c*r^2 + i*r + j order (space_to_depth) interleaves every lane,
+    which makes the transpose shuffle-bound on TPU (traced: 40 us for a 4 MB
+    move at the 1B sampler geometry vs ~12 us for the blocked move). Callers
+    that consume the result with a learned matmul permute that weight's rows
+    instead (see models/denoiser.py), keeping checkpoints in torch order.
+    """
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // r, r, w // r, r, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # (b, h/r, w/r, i, j, c)
+    return x.reshape(b, h // r, w // r, c * r * r)
+
+
+def depth_to_space_pmajor(x: jax.Array, r: int) -> jax.Array:
+    """Inverse of :func:`space_to_depth_pmajor`: input channel (i*r+j)*c + ch
+    goes to spatial offset (i, j) of output channel ch."""
+    b, h, w, c = x.shape
+    c_out = c // (r * r)
+    x = x.reshape(b, h, w, r, r, c_out)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # (b, h, i, w, j, c_out)
+    return x.reshape(b, h * r, w * r, c_out)
+
+
+def pmajor_permutation(c: int, r: int):
+    """Index map from patch-major channel order to torch order:
+    perm[(i*r + j)*c + ch] = ch*r^2 + (i*r + j). Used to permute the rows
+    (inputs) or columns (outputs) of a weight that sits next to a
+    space_to_depth_pmajor / depth_to_space_pmajor, so the math stays
+    bit-equal to the torch-ordered checkpoint layout."""
+    import numpy as np
+
+    pq = np.arange(r * r)
+    ch = np.arange(c)
+    return (ch[None, :] * (r * r) + pq[:, None]).reshape(-1)
+
+
 def replication_pad_2d(x: jax.Array, pad: int) -> jax.Array:
     """NHWC equivalent of torch.nn.ReplicationPad2d (reference: src/vqgan.py:12)."""
     return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge")

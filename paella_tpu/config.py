@@ -130,6 +130,10 @@ class SampleConfig:
     # (kernels/sampling.py) — same distribution, different PRNG stream; skips
     # the 134 MB/step HBM round trip of materialized random bits.
     categorical_impl: str = "xla"
+    # Precompute step-invariant conditioning activations (normalized embedding
+    # table, cond mappers, per-rep kv projections) once outside the sampling
+    # scan (Paella.gen_cond_cache). Bit-equal; off switch exists for A/B.
+    cond_cache: bool = True
 
     def resolved(self) -> "SampleConfig":
         cfg = self.cfg

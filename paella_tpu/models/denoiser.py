@@ -245,6 +245,73 @@ class Paella(nn.Module):
         mask = jnp.concatenate(mask_parts, axis=1) if any_mask else None
         return seq, mask
 
+    def gen_cond_cache(
+        self,
+        byt5: Array,
+        clip: Optional[Array] = None,
+        clip_image: Optional[Array] = None,
+        byt5_mask: Optional[Array] = None,
+        clip_mask: Optional[Array] = None,
+        clip_image_mask: Optional[Array] = None,
+    ) -> dict:
+        """Precompute every sampling-step-invariant conditioning activation.
+
+        The sampler runs the denoiser inside a lax.scan; XLA's while-loop
+        invariant code motion does NOT hoist these (traced: ~70 us/step of
+        redundant recompute at the 1B geometry — the normalized embedding
+        table, the cond-sequence mappers, and the per-repetition kv
+        projections). Computing them ONCE via this method and passing the
+        result as `cond_cache=` to __call__ makes them true loop constants.
+        Bit-equal to the uncached path (pinned by test_denoiser.py).
+
+        (Plain method — only __call__ may be @nn.compact — so the mappers are
+        applied functionally on their raw params, matching nn.Dense's op
+        order: cast input+kernel+bias to compute dtype, dot, add.)
+        """
+        cfg = self.config
+        dtype = cfg.compute_dtype
+        from ..nn.functional import silu as _silu
+
+        def functional_dense(name):
+            pr = self.get_variable("params", name)
+
+            def apply(v):
+                return jnp.dot(v, pr["kernel"].astype(dtype)) + pr["bias"].astype(dtype)
+
+            return apply
+
+        mappers = tuple(
+            functional_dense(nm) for nm in ("byt5_mapper", "clip_mapper", "clip_image_mapper")
+        )
+        c_embed, cond_mask = self._gen_c_embeddings(
+            mappers, byt5, clip, clip_image, byt5_mask, clip_mask, clip_image_mask
+        )
+        cache = {"c_embed": c_embed, "cond_mask": cond_mask}
+        # LN commutes with the embedding gather (both are per-row); the
+        # normalized table replaces layer_norm(in_embedding(x)) per step.
+        emb = self.get_variable("params", "in_embedding")["embedding"]
+        cache["norm_embedding"] = layer_norm(emb).astype(dtype)
+        # kv_mapper outputs for every scanned CTA level instance
+        for prefix in ("down", "up"):
+            for i in range(len(cfg.c_hidden)):
+                pattern = cfg.level_config[i]
+                name = f"{prefix}_{i}_rest"
+                if not pattern.endswith("A") or cfg.blocks[i] <= 1:
+                    continue
+                if not self.has_variable("params", name):
+                    continue
+                p_a = self.get_variable("params", name)[f"{len(pattern) - 1}_A"]
+                kvm = p_a["kv_mapper"]
+                cache[f"kv_all_{name}"] = (
+                    jnp.einsum(
+                        "bsk,rko->rbso",
+                        _silu(c_embed).astype(dtype),
+                        kvm["kernel"].astype(dtype),
+                    )
+                    + kvm["bias"][:, None, None, :].astype(dtype)
+                )
+        return cache
+
     @nn.compact
     def __call__(
         self,
@@ -260,6 +327,7 @@ class Paella(nn.Module):
         cond_reweight: Optional[Array] = None,
         deterministic: bool = True,
         return_features: bool = False,
+        cond_cache: Optional[dict] = None,
     ) -> Array:
         cfg = self.config
         dtype = cfg.compute_dtype
@@ -269,9 +337,12 @@ class Paella(nn.Module):
             x = jnp.concatenate([x, x_cat], axis=1)  # reference: src/modules.py:264-265
 
         r_embed = self.gen_r_embedding(r)
-        c_embed, cond_mask = self._gen_c_embeddings(
-            self._cond_embed_modules(), byt5, clip, clip_image, byt5_mask, clip_mask, clip_image_mask
-        )
+        if cond_cache is not None:
+            c_embed, cond_mask = cond_cache["c_embed"], cond_cache["cond_mask"]
+        else:
+            c_embed, cond_mask = self._gen_c_embeddings(
+                self._cond_embed_modules(), byt5, clip, clip_image, byt5_mask, clip_mask, clip_image_mask
+            )
 
         # token embed -> patchify -> project (reference: src/modules.py:271).
         # The patchify runs in PATCH-MAJOR channel order (contiguous c-blocks
@@ -279,14 +350,17 @@ class Paella(nn.Module):
         # the transpose shuffle-bound, traced at 40 us/step); the projection
         # kernel's rows are permuted to compensate, so the params stay in the
         # torch/checkpoint order and the math is exactly the reference's.
-        in_embedding = nn.Embed(
-            cfg.num_labels,
-            cfg.c_in,
-            embedding_init=tinit.normal((1.0 / cfg.num_labels) ** 0.5),
-            param_dtype=jnp.float32,
-            name="in_embedding",
-        )
-        h = layer_norm(in_embedding(x)).astype(dtype)
+        if cond_cache is not None:
+            h = jnp.take(cond_cache["norm_embedding"], x, axis=0)
+        else:
+            in_embedding = nn.Embed(
+                cfg.num_labels,
+                cfg.c_in,
+                embedding_init=tinit.normal((1.0 / cfg.num_labels) ** 0.5),
+                param_dtype=jnp.float32,
+                name="in_embedding",
+            )
+            h = layer_norm(in_embedding(x)).astype(dtype)
         h = space_to_depth_pmajor(h, cfg.patch_size)
         ek, eb = _DenseParams(
             cfg.c_in * cfg.patch_size**2,
@@ -407,15 +481,19 @@ class Paella(nn.Module):
                 # - kv_mapper applied for ALL reps in one einsum
                 # - k and v kernels pre-concatenated so the in-loop projection
                 #   of the (pixels + cond) sequence is ONE matmul
-                kvm = p_a["kv_mapper"]
-                kv_all = (
-                    jnp.einsum(
-                        "bsk,rko->rbso",
-                        _silu(c_embed).astype(dtype),
-                        kvm["kernel"].astype(dtype),
-                    )
-                    + kvm["bias"][:, None, None, :].astype(dtype)
-                )  # (R, B, S_cond, c)
+                if cond_cache is not None:
+                    # hoisted out of the sampling scan entirely (gen_cond_cache)
+                    kv_all = cond_cache[f"kv_all_{prefix}_{i}_rest"]
+                else:
+                    kvm = p_a["kv_mapper"]
+                    kv_all = (
+                        jnp.einsum(
+                            "bsk,rko->rbso",
+                            _silu(c_embed).astype(dtype),
+                            kvm["kernel"].astype(dtype),
+                        )
+                        + kvm["bias"][:, None, None, :].astype(dtype)
+                    )  # (R, B, S_cond, c)
                 pa_att = p_a["attention"]
                 w_kv = jnp.concatenate(
                     [pa_att["k"]["kernel"], pa_att["v"]["kernel"]], axis=-1

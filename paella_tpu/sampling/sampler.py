@@ -111,7 +111,10 @@ def merge_cfg_pair(cond: Conditioning, uncond: Conditioning) -> Conditioning:
     return Conditioning(byt5, clip, clip_image, byt5_mask, clip_mask, clip_image_mask)
 
 
-def _apply_model(model, params, x, t, c: Conditioning, cond_reweight=None, return_features=False):
+def _apply_model(
+    model, params, x, t, c: Conditioning, cond_reweight=None, return_features=False,
+    cond_cache=None,
+):
     return model.apply(
         {"params": params},
         x,
@@ -125,6 +128,25 @@ def _apply_model(model, params, x, t, c: Conditioning, cond_reweight=None, retur
         cond_reweight=cond_reweight,
         deterministic=True,
         return_features=return_features,
+        cond_cache=cond_cache,
+    )
+
+
+def _build_cond_cache(model, params, c: Conditioning, enabled: bool = True):
+    """Step-invariant conditioning activations, computed ONCE outside the
+    sampling scan (Paella.gen_cond_cache) — XLA does not hoist them out of
+    the while loop on its own."""
+    if not enabled or not hasattr(type(model), "gen_cond_cache"):
+        return None
+    return model.apply(
+        {"params": params},
+        c.byt5,
+        c.clip,
+        c.clip_image,
+        byt5_mask=c.byt5_mask,
+        clip_mask=c.clip_mask,
+        clip_image_mask=c.clip_image_mask,
+        method=type(model).gen_cond_cache,
     )
 
 
@@ -180,6 +202,17 @@ def sample(
     )
 
     merged = merge_cfg_pair(conditioning, unconditional) if do_cfg else conditioning
+    n_cfg_steps = min(cfg.sampling_conditional_steps, cfg.steps) if do_cfg else 0
+    cache_merged = _build_cond_cache(model, params, merged, cfg.cond_cache)
+    # the cond-only phase (past sampling_conditional_steps) runs batch B with
+    # the conditional inputs only — its own cache. Only built when that phase
+    # actually has steps (with the default cutoff == steps it never does).
+    if not do_cfg:
+        cache_cond = cache_merged
+    elif n_cfg_steps < cfg.steps:
+        cache_cond = _build_cond_cache(model, params, conditioning, cfg.cond_cache)
+    else:
+        cache_cond = None
 
     # The output head is linear (no bias), so the CFG logit mix commutes with
     # it: mixing the c_out-dim FEATURES then projecting once does 2x less head
@@ -208,6 +241,7 @@ def sample(
                     merged,
                     cond_reweight=cond_reweight,
                     return_features=True,
+                    cond_cache=cache_merged,
                 )
                 # reference mix: logits*cfg + uncond*(1-cfg)
                 # (src_distributed/utils.py:117), applied pre-head in f32 —
@@ -220,6 +254,7 @@ def sample(
                 feat_c = _apply_model(
                     model, params, sampled, t, conditioning,
                     cond_reweight=cond_reweight, return_features=True,
+                    cond_cache=cache_cond,
                 )
                 feat_u = None
 
@@ -266,7 +301,7 @@ def sample(
     # computed-and-discarded (the reference likewise skips it,
     # src_distributed/utils.py:116). With the default cutoff (== steps) this is
     # one scan, identical to before.
-    n_cfg = min(cfg.sampling_conditional_steps, cfg.steps) if do_cfg else 0
+    n_cfg = n_cfg_steps
     carry = (sampled, key)
     if n_cfg > 0:
         carry, _ = jax.lax.scan(

@@ -107,6 +107,25 @@ def main():
             np.asarray(f(params, x, r, byt5, clip))
             variants[name] = f
 
+    # attn_block_kernel=True routes VMEM-eligible CTA repetitions (level 2 at
+    # the 1B geometry) through the fused attention-block kernel
+    model_ab = Paella(dataclasses.replace(p_cfg, attn_block_kernel=True))
+
+    def fwd_ab(params, x, r, byt5, clip):
+        def body(acc, i):
+            f = model_ab.apply(
+                {"params": params}, x, r + i.astype(jnp.float32) * 1e-3,
+                byt5, clip, clip, deterministic=True, return_features=True,
+            )
+            return acc + f.astype(jnp.float32).mean(), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(args.reps))
+        return acc
+
+    variants["attnblk"] = jax.jit(fwd_ab)
+    print("compiling attnblk...", flush=True)
+    np.asarray(variants["attnblk"](params, x, r, byt5, clip))
+
     times = {name: [] for name in variants}
     for _ in range(args.iters):
         for name, f in variants.items():

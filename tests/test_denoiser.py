@@ -189,3 +189,31 @@ def test_multi_image_clip_conditioning(model_and_params):
     )
     only_first = model.apply({"params": params}, x, r, byt5, None, imgs[:, :1])
     np.testing.assert_allclose(np.asarray(masked), np.asarray(only_first), rtol=1e-4, atol=1e-4)
+
+
+def test_cond_cache_matches_uncached(model_and_params):
+    """gen_cond_cache + cond_cache= must reproduce the uncached forward
+    exactly: LN commutes with the embedding gather, the functional mappers
+    follow nn.Dense's op order, and the cached kv projections are the same
+    einsum hoisted."""
+    from tests._utils import perturb
+
+    model, params = model_and_params
+    params = perturb(params, jax.random.PRNGKey(7))
+    b = 2
+    x = jax.random.randint(jax.random.PRNGKey(0), (b, 16, 16), 0, CFG.num_labels)
+    r = jnp.array([0.25, 0.9])
+    byt5 = jax.random.normal(jax.random.PRNGKey(1), (b, 5, CFG.byt5_embd))
+    clip = jax.random.normal(jax.random.PRNGKey(2), (b, CFG.clip_embd))
+    byt5_mask = jnp.array([[True] * 5, [True, True, False, False, False]])
+
+    kw = dict(byt5_mask=byt5_mask)
+    want = model.apply({"params": params}, x, r, byt5, clip, clip, **kw)
+    cache = model.apply(
+        {"params": params}, byt5, clip, clip, byt5_mask=byt5_mask,
+        method=type(model).gen_cond_cache,
+    )
+    got = model.apply(
+        {"params": params}, x, r, byt5, clip, clip, cond_cache=cache, **kw
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)

@@ -121,6 +121,37 @@ class PaellaPipeline:
         )
         return jnp.clip(self.decode(tokens), 0.0, 1.0)
 
+    def text_to_image_best_of(
+        self,
+        prompts: Sequence[str],
+        key: Array,
+        n: int,
+        image_hw: tuple[int, int] = (256, 256),
+        config: SampleConfig = SampleConfig(),
+        return_scores: bool = False,
+        **kwargs,
+    ):
+        """Best-of-N generation with CLIP rerank: sample n candidates per
+        prompt in ONE batched call, score each with eval.clip_score using the
+        pipeline's CLIP towers, return the best image per prompt.
+
+        Requires clip_text_fn and clip_image_fn. Beyond the reference's
+        notebook surface; uses the eval/ metrics the reference lacks.
+        """
+        if self.clip_text_fn is None or self.clip_image_fn is None:
+            raise ValueError("best-of-N rerank needs clip_text_fn and clip_image_fn")
+        from .eval import clip_score
+
+        b = len(prompts)
+        rep = [p for p in prompts for _ in range(n)]
+        images = self.text_to_image(rep, key, image_hw, config, **kwargs)
+        t = self.clip_text_fn(rep)
+        v = self.clip_image_fn(images)
+        scores = clip_score(t, v).reshape(b, n)
+        best = jnp.argmax(scores, axis=1)
+        images = images.reshape(b, n, *images.shape[1:])[jnp.arange(b), best]
+        return (images, scores) if return_scores else images
+
     def inpaint(
         self,
         prompts: Sequence[str],

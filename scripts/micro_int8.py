@@ -1,7 +1,17 @@
-"""Microbench: does an XLA int8xint8->int32 dot hit the v5e s8 MXU (394 TOPS)?
+"""Microbench: s8xs8->s32 vs bf16 matmul rate on the MXU.
 
-Times bf16 vs int8 matmuls at Paella's fc shapes, N reps per dispatch inside
-one lax.scan (tunnel-amortized, CLAUDE.md A/B rule).
+Measurement design (each earlier, simpler version produced a WRONG number):
+- every scan iteration feeds its output back into the next input, so the dots
+  form a dependency chain XLA cannot hoist or CSE (a loop-invariant body gets
+  hoisted and times only the dispatch tunnel);
+- the jit returns a SCALAR — fetching an (n, n) result over the measurement
+  tunnel costs ~900 ms at 4096² bf16 (~35 MB/s), drowning the compute;
+- the per-matmul time is the SLOPE between two rep counts, cancelling the
+  fixed dispatch+fetch cost.
+
+Measured on the v5e (2026-08-17): bf16 720.9 us/matmul = 190.7 TFLOP/s
+(nominal 197); int8 375.5 us = 366.0 TFLOP/s (nominal 394). The double-rate
+s8 MXU path is real and reachable from a plain XLA dot_general.
 
     python scripts/micro_int8.py
 """
@@ -21,46 +31,43 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
-    reps = 50
-    iters = 20
-    # Paella fc1 shape at level-0 (batch-2 CFG): (2*32*32, 640) @ (640, 2560)
-    # plus a square 4k case to see peak behavior
-    shapes = [((2048, 640), (640, 2560)), ((4096, 4096), (4096, 4096))]
+    n = 4096
+    flop = 2 * n**3
 
-    for (ms_, ks), (_, ns) in shapes:
-        flop = 2 * ms_ * ks * ns
-        print(f"shape ({ms_},{ks})@({ks},{ns})  {flop/1e9:.2f} GFLOP")
-        for name, dt, acc in (
-            ("bf16", jnp.bfloat16, jnp.float32),
-            ("int8", jnp.int8, jnp.int32),
-        ):
-            if dt == jnp.int8:
-                a = jnp.ones((ms_, ks), jnp.int8)
-                b = jnp.ones((ks, ns), jnp.int8)
-            else:
-                a = jnp.ones((ms_, ks), dt)
-                b = jnp.ones((ks, ns), dt)
+    def make(acc, post, reps):
+        def f(a, b):
+            def body(c, _):
+                o = jax.lax.dot_general(
+                    c, b, (((1,), (0,)), ((), ())), preferred_element_type=acc
+                )
+                return post(o), None
 
-            @jax.jit
-            def f(a, b):
-                def body(carry, _):
-                    o = jax.lax.dot_general(
-                        a, b, (((1,), (0,)), ((), ())), preferred_element_type=acc
-                    )
-                    # fold the result back so reps can't be CSE'd away
-                    return carry + o[0, 0].astype(jnp.float32), None
+            c, _ = jax.lax.scan(body, a, None, length=reps)
+            return c.astype(jnp.float32).sum()  # scalar fetch only
 
-                c, _ = jax.lax.scan(body, jnp.float32(0), None, length=reps)
-                return c
+        return jax.jit(f)
 
+    cfg = {
+        # all-ones stay all-ones under each renormalization
+        "bf16": (jnp.bfloat16, jnp.float32, lambda o: (o * (1.0 / n)).astype(jnp.bfloat16)),
+        "int8": (jnp.int8, jnp.int32, lambda o: (o >> 12).astype(jnp.int8)),
+    }
+    for name, (dt, acc, post) in cfg.items():
+        a = jnp.ones((n, n), dt)
+        b = jnp.ones((n, n), dt)
+        t = {}
+        for reps in (40, 160):
+            f = make(acc, post, reps)
             np.asarray(f(a, b))
             ts = []
-            for _ in range(iters):
+            for _ in range(8):
                 t0 = time.perf_counter()
                 np.asarray(f(a, b))
                 ts.append(time.perf_counter() - t0)
-            per = np.percentile(np.array(ts), 10) / reps
-            print(f"  {name}: {per*1e6:8.1f} us/matmul  {flop/per/1e12:7.1f} TFLOP/s")
+            t[reps] = np.percentile(ts, 10)
+            print(f"{name} reps={reps}: {t[reps]*1000:.1f} ms")
+        per = (t[160] - t[40]) / 120
+        print(f"{name}: {per*1e6:.1f} us/matmul -> {flop/per/1e12:.1f} TFLOP/s")
 
 
 if __name__ == "__main__":

@@ -45,6 +45,13 @@ class PaellaConfig:
     # sampler module wall; head-padding FLOPs and in-kernel relayouts outweigh
     # the dispatch savings) — kept for other geometries/hardware.
     attn_block_kernel: bool = False
+    # True W8A8 inference for the fused ResBlock fc matmuls: s8 x s8 on the
+    # MXU (measured 1.35-1.66x the bf16 fc rate at the 1B shapes) with
+    # in-kernel dynamic per-row activation quantization. Requires
+    # fused_blocks=True and quant.quantize_paella_int8 weights; engages only
+    # where kernel_scale leaves are present. QUALITY-GATED: validate FID on
+    # real checkpoints before production use.
+    act_quant: bool = False
 
     @property
     def compute_dtype(self):

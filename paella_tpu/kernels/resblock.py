@@ -117,9 +117,11 @@ def _kernel(
     x_ref,        # (B, H, W, C) — residual (and, cpg=1, depthwise input)
     *refs,        # [xa, xb (cpg=2 only)], dw_w (1,3,3,cpg,C), dw_b (1,1,C),
                   # w1 (1,C,TN1), b1, gamma (1,1,4C) f32, beta, w2 (1,4C,TN2),
-                  # b2, s1, s2 (int8 scales), film (1,B,2C) — then the output
+                  # b2, s1, s2 (int8 scales), film (1,B,2C),
+                  # [beta_w2 (1,1,TN2) — act_quant only] — then the output
                   # o (B,H,W,TN2) and scratch xn (B*HW,C), h (B*HW,4C),
-                  # gx (B,4C) f32
+                  # gx (B,4C) f32, [sx (1,rows), sh (16,rows), sh2 (1,rows)
+                  # f32 activation scales — act_quant only]
     n_t1: int,
     n_t2: int,
     tn1: int,
@@ -131,6 +133,7 @@ def _kernel(
     quantized: bool,
     batch_grid: bool = False,
     cpg: int = 1,
+    act_quant: bool = False,
     eps_grn: float = 1e-6,
     eps_ln: float = 1e-6,  # layer_norm parity: nn/functional.py eps=1e-6
 ):
@@ -142,8 +145,20 @@ def _kernel(
         dw_inputs = (xa_ref, xb_ref)
     else:
         dw_inputs = (x_ref,)
-    (dw_w_ref, dw_b_ref, w1_ref, b1_ref, gamma_ref, beta_ref, w2_ref, b2_ref,
-     s1_ref, s2_ref, film_ref, o_ref, xn_ref, h_ref, gx_ref) = refs
+    if act_quant:
+        (dw_w_ref, dw_b_ref, w1_ref, b1_ref, gamma_ref, beta_ref, w2_ref,
+         b2_ref, s1_ref, s2_ref, film_ref, bw2_ref, o_ref, xn_ref, h_ref,
+         gx_ref, sx_ref, sh_ref, sh2_ref) = refs
+    else:
+        (dw_w_ref, dw_b_ref, w1_ref, b1_ref, gamma_ref, beta_ref, w2_ref,
+         b2_ref, s1_ref, s2_ref, film_ref, o_ref, xn_ref, h_ref, gx_ref) = refs
+
+    def quantize_rows(v: Array):
+        """Per-row symmetric s8: returns (codes s8, scale f32 (rows,))."""
+        am = jnp.max(jnp.abs(v), axis=-1)
+        s = jnp.maximum(am, 1e-6) * (1.0 / 127.0)
+        q = jnp.clip(jnp.round(v * (1.0 / s)[:, None]), -127.0, 127.0)
+        return q.astype(jnp.int8), s
 
     # batch-grid mode: grid=(B, steps); each batch item replays the phase
     # sequence with per-batch scratch (b below is the 1-row block, not B)
@@ -171,25 +186,46 @@ def _kernel(
         mean = jnp.mean(acc, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(acc - mean), axis=-1, keepdims=True)
         xn = (acc - mean) * jax.lax.rsqrt(var + eps_ln)
-        xn_ref[...] = xn.reshape(b * hw, c).astype(dtype)
+        if act_quant:
+            q, s = quantize_rows(xn.reshape(b * hw, c))
+            xn_ref[...] = q
+            sx_ref[0, :] = s
+        else:
+            xn_ref[...] = xn.reshape(b * hw, c).astype(dtype)
 
     # ---- phase 1 (steps 0..n_t1-1): fc1 tile -> gelu -> stash + L2 stats ----
     @pl.when(step < n_t1)
     def _phase1():
         xn = xn_ref[...]
-        w1 = w1_ref[0].astype(xn.dtype)  # int8 values are exact in bf16
-        ht = jax.lax.dot_general(
-            xn, w1,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (B*HW, TN1)
-        if quantized:
-            # weight-only int8: x @ (Wq * s) == (x @ Wq) * s, s per out channel
-            ht = ht * s1_ref[0, 0, :]
+        if act_quant:
+            # true W8A8: s8 x s8 MACs on the MXU (1.35-1.66x the bf16 rate at
+            # Paella's fc shapes incl. requant — scripts/micro_int8.py design)
+            ht = jax.lax.dot_general(
+                xn, w1_ref[0],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * (sx_ref[0, :][:, None] * s1_ref[0, 0, :][None, :])
+        else:
+            w1 = w1_ref[0].astype(xn.dtype)  # int8 values are exact in bf16
+            ht = jax.lax.dot_general(
+                xn, w1,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (B*HW, TN1)
+            if quantized:
+                # weight-only int8: x @ (Wq*s) == (x @ Wq) * s, s per out chan
+                ht = ht * s1_ref[0, 0, :]
         ht = ht + b1_ref[0, 0, :].astype(jnp.float32)
         ht = _gelu_exact(ht)
         col = step * tn1
-        h_ref[:, pl.ds(col, tn1)] = ht.astype(h_ref.dtype)
+        if act_quant:
+            # provisional per-(row, tile) quantization; phase 1.5 requantizes
+            # to one per-row scale after the GRN scaling
+            q, s = quantize_rows(ht)
+            h_ref[:, pl.ds(col, tn1)] = q
+            sh_ref[pl.ds(step, 1), :] = s[None, :]
+        else:
+            h_ref[:, pl.ds(col, tn1)] = ht.astype(h_ref.dtype)
         # per-batch spatial sum of squares for GRN (batches are row-contiguous)
         hsq = jnp.square(ht)
         for bi in range(b):
@@ -201,32 +237,63 @@ def _kernel(
         gx = jnp.sqrt(gx_ref[...])  # (B, 4C)
         nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + eps_grn)
         scale = gamma_ref[0, 0, :] * nx + 1.0  # (B, 4C) f32
-        for bi in range(b):
-            rows = h_ref[pl.ds(bi * hw, hw), :]
-            h_ref[pl.ds(bi * hw, hw), :] = (
-                rows.astype(jnp.float32) * scale[bi][None, :]
-            ).astype(h_ref.dtype)
+        if act_quant:
+            # dequant (per-tile scales) + GRN scale, requantize to ONE per-row
+            # scale so phase 2 can run a single full-K s8 dot. GRN scale is
+            # applied FULL-WIDTH (Mosaic rejects broadcasting a lane-sliced
+            # row vector across sublanes); per-tile scales are column
+            # broadcasts, which lower fine. b and n_t1 are static.
+            for bi in range(b):
+                r0 = bi * hw
+                parts = []
+                for t in range(n_t1):
+                    parts.append(
+                        h_ref[pl.ds(r0, hw), pl.ds(t * tn1, tn1)].astype(jnp.float32)
+                        * sh_ref[t, pl.ds(r0, hw)][:, None]
+                    )
+                deq = jnp.concatenate(parts, axis=-1) * scale[bi][None, :]
+                am = jnp.max(jnp.abs(deq), axis=-1)
+                s_new = jnp.maximum(am, 1e-6) * (1.0 / 127.0)
+                sh2_ref[0, pl.ds(r0, hw)] = s_new
+                h_ref[pl.ds(r0, hw), :] = jnp.clip(
+                    jnp.round(deq * (1.0 / s_new)[:, None]), -127.0, 127.0
+                ).astype(jnp.int8)
+        else:
+            for bi in range(b):
+                rows = h_ref[pl.ds(bi * hw, hw), :]
+                h_ref[pl.ds(bi * hw, hw), :] = (
+                    rows.astype(jnp.float32) * scale[bi][None, :]
+                ).astype(h_ref.dtype)
 
     # ---- phase 2 (steps n_t1..): fc2 tile + bias + beta@W2 + residual + film --
     @pl.when(step >= n_t1)
     def _phase2():
         t2 = step - n_t1
         h = h_ref[...]
-        w2 = w2_ref[0].astype(h.dtype)
-        yt = jax.lax.dot_general(
-            h, w2,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (B*HW, TN2)
-        # GRN beta contributes beta @ W2 (constant per output channel)
-        beta_w2 = jax.lax.dot_general(
-            beta_ref[0].astype(h.dtype), w2,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (1, TN2)
-        yt = yt + beta_w2[0][None, :]
-        if quantized:
-            yt = yt * s2_ref[0, 0, :]
+        if act_quant:
+            yt = jax.lax.dot_general(
+                h, w2_ref[0],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * (sh2_ref[0, :][:, None] * s2_ref[0, 0, :][None, :])
+            # beta @ W2 is per-rep constant; precomputed outside (bw2_ref)
+            yt = yt + bw2_ref[0, 0, :]
+        else:
+            w2 = w2_ref[0].astype(h.dtype)
+            yt = jax.lax.dot_general(
+                h, w2,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (B*HW, TN2)
+            # GRN beta contributes beta @ W2 (constant per output channel)
+            beta_w2 = jax.lax.dot_general(
+                beta_ref[0].astype(h.dtype), w2,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (1, TN2)
+            yt = yt + beta_w2[0][None, :]
+            if quantized:
+                yt = yt * s2_ref[0, 0, :]
         yt = yt + b2_ref[0, 0, :].astype(jnp.float32)
         col = t2 * tn2
         res = x_ref[:, :, :, pl.ds(col, tn2)].reshape(b * hw, tn2).astype(jnp.float32)
@@ -260,6 +327,9 @@ def fused_resblock_stacked(
     tile_n2: int = 128,
     batch_grid: bool = False,
     skip: Optional[Array] = None,
+    act_quant: bool = False,  # true W8A8: quantize activations in-kernel
+    beta_w2: Optional[Array] = None,  # (R, C) f32 = beta @ dequant(W2); required
+                                      # with act_quant (beta can't join s8 dots)
     interpret: bool = False,
 ) -> Array:
     """Fused ResBlock(+FiLM) over scan-stacked weights. The repetition index is
@@ -299,12 +369,19 @@ def fused_resblock_stacked(
     s1 = fc1_scale if quantized else jnp.ones((r, c4), jnp.float32)
     s2 = fc2_scale if quantized else jnp.ones((r, c), jnp.float32)
 
+    if act_quant:
+        assert quantized and beta_w2 is not None, (
+            "act_quant needs int8 fc kernels (with scales) and a precomputed "
+            "beta_w2 = grn_beta @ dequant(fc2_kernel)"
+        )
+        assert n_t1 <= 16, n_t1  # sh scratch holds one scale row per fc1 tile
+
     kern = functools.partial(
         _kernel,
         n_t1=n_t1, n_t2=n_t2, tn1=tile_n1, tn2=tile_n2,
         c=c, b=1 if batch_grid else b, hw=hw,
         with_film=with_film, quantized=quantized, batch_grid=batch_grid,
-        cpg=cpg,
+        cpg=cpg, act_quant=act_quant,
     )
 
     if batch_grid:
@@ -370,12 +447,24 @@ def fused_resblock_stacked(
             pl.BlockSpec((1, 1, tile_n1), fc1_idx),                           # s1 tile
             pl.BlockSpec((1, 1, tile_n2), fc2_idx),                           # s2 tile
             film_spec,                                                        # film
+            *([pl.BlockSpec((1, 1, tile_n2), fc2_idx)] if act_quant else []), # beta_w2
         ],
         out_specs=out_spec,
         scratch_shapes=[
-            pltpu.VMEM((scratch_rows, c), dtype),   # xn: normalized depthwise out
-            pltpu.VMEM((scratch_rows, c4), dtype),  # h: gelu(fc1), GRN-scaled
+            pltpu.VMEM((scratch_rows, c), jnp.int8 if act_quant else dtype),
+            #                                       ^ xn: normalized depthwise out
+            pltpu.VMEM((scratch_rows, c4), jnp.int8 if act_quant else dtype),
+            #                                       ^ h: gelu(fc1), GRN-scaled
             pltpu.VMEM((gx_rows, c4), jnp.float32), # gx: per-channel L2 stats
+            *(
+                [
+                    pltpu.VMEM((1, scratch_rows), jnp.float32),   # sx row scales
+                    pltpu.VMEM((16, scratch_rows), jnp.float32),  # sh per-tile
+                    pltpu.VMEM((1, scratch_rows), jnp.float32),   # sh2 final
+                ]
+                if act_quant
+                else []
+            ),
         ],
     )
 
@@ -408,6 +497,7 @@ def fused_resblock_stacked(
         s1.astype(jnp.float32)[:, None, :],
         s2.astype(jnp.float32)[:, None, :],
         film.astype(dtype),
+        *([beta_w2.astype(jnp.float32)[:, None, :]] if act_quant else []),
     )
 
 

@@ -603,6 +603,26 @@ class Paella(nn.Module):
                     out = out.reshape(b, n_pix, c) @ w_o[idx] + b_o[idx]
                     return x + out.reshape(b, hh_, ww_, c).astype(x.dtype)
 
+            # true W8A8 (cfg.act_quant + quantized weights): the kernel runs
+            # its fc matmuls as s8 x s8 on the MXU with in-kernel dynamic
+            # per-row activation quantization. beta @ W2 can't join an s8 dot,
+            # so it's precomputed here per repetition (loop-invariant).
+            act_q = (
+                cfg.act_quant
+                and cw["fc1"].get("kernel_scale") is not None
+                and cw["fc2"].get("kernel_scale") is not None
+            )
+            beta_w2_all = None
+            if act_q:
+                beta_w2_all = (
+                    jnp.einsum(
+                        "rk,rkn->rn",
+                        cw["grn"]["beta"].astype(jnp.float32),
+                        cw["fc2"]["kernel"].astype(jnp.float32),
+                    )
+                    * cw["fc2"]["kernel_scale"]
+                )
+
             def body(hh, idx):
                 out = fused_resblock_stacked(
                     hh.astype(dtype),
@@ -620,6 +640,8 @@ class Paella(nn.Module):
                     fc1_scale=cw["fc1"].get("kernel_scale"),
                     fc2_scale=cw["fc2"].get("kernel_scale"),
                     batch_grid=bgrid,
+                    act_quant=act_q,
+                    beta_w2=beta_w2_all,
                 )
                 if attn is not None:
                     out = attn(out, idx)

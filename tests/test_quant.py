@@ -54,6 +54,52 @@ def test_fused_kernel_int8_matches_dequantized_float():
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
 
 
+def test_fused_kernel_w8a8_close_to_float():
+    """True W8A8 (act_quant): s8 activations add ~1/254 per-row rounding on
+    top of the weight quantization — outputs stay within a few percent of the
+    float path on dequantized weights."""
+    from paella_tpu.kernels.resblock import fused_resblock_stacked
+    from tests.test_resblock_kernel import make_inputs
+
+    x, dw_k, dw_b, w1, b1, gamma, beta, w2, b2, film = make_inputs(
+        jax.random.PRNGKey(5), b=2, hw=8, c=128
+    )
+    stack = lambda a: jnp.stack([a, a * 0.5])
+    w1s, w2s = stack(w1), stack(w2)
+    q1, s1 = quantize_dense_int8(w1s)
+    q2, s2 = quantize_dense_int8(w2s)
+    beta_w2 = (
+        jnp.einsum("rk,rkn->rn", stack(beta).astype(jnp.float32), q2.astype(jnp.float32))
+        * s2
+    )
+
+    for idx in range(2):
+        want = fused_resblock_stacked(
+            x, stack(dw_k), stack(dw_b), dequantize_dense_int8(q1, s1),
+            stack(b1), stack(gamma), stack(beta), dequantize_dense_int8(q2, s2),
+            stack(b2), idx, film_ab=stack(film),
+            tile_n1=128, tile_n2=64, interpret=True,
+        )
+        got = fused_resblock_stacked(
+            x, stack(dw_k), stack(dw_b), q1, stack(b1), stack(gamma),
+            stack(beta), q2, stack(b2), idx, film_ab=stack(film),
+            fc1_scale=s1, fc2_scale=s2, act_quant=True, beta_w2=beta_w2,
+            tile_n1=128, tile_n2=64, interpret=True,
+        )
+        w, g = np.asarray(want), np.asarray(got)
+        rel = np.abs(g - w).mean() / (np.abs(w).mean() + 1e-9)
+        assert rel < 0.02, rel
+
+        # batch-grid mode must agree with full mode under act_quant too
+        got_bg = fused_resblock_stacked(
+            x, stack(dw_k), stack(dw_b), q1, stack(b1), stack(gamma),
+            stack(beta), q2, stack(b2), idx, film_ab=stack(film),
+            fc1_scale=s1, fc2_scale=s2, act_quant=True, beta_w2=beta_w2,
+            tile_n1=128, tile_n2=64, batch_grid=True, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(got_bg), g, rtol=1e-5, atol=1e-5)
+
+
 def test_quantized_model_close_to_float():
     from jax.experimental.pallas import tpu as pltpu
 
@@ -83,12 +129,21 @@ def test_quantized_model_close_to_float():
     with pltpu.force_tpu_interpret_mode():
         want = model.apply({"params": params}, x, r, byt5, clip)
         got = model.apply({"params": qparams}, x, r, byt5, clip)
+        model_aq = Paella(dataclasses.replace(base, act_quant=True))
+        got_aq = model_aq.apply({"params": qparams}, x, r, byt5, clip)
     w, g = np.asarray(want), np.asarray(got)
     # per-channel weight-only int8: logits stay close, rankings barely move
     rel = np.abs(g - w).mean() / (np.abs(w).mean() + 1e-9)
     assert rel < 0.05, rel
     agree = (g.argmax(-1) == w.argmax(-1)).mean()
     assert agree > 0.98, agree
+    # true W8A8 adds per-row activation rounding (two quant steps on h):
+    # still close to float, rankings mostly stable
+    ga = np.asarray(got_aq)
+    rel_aq = np.abs(ga - w).mean() / (np.abs(w).mean() + 1e-9)
+    assert rel_aq < 0.10, rel_aq
+    agree_aq = (ga.argmax(-1) == w.argmax(-1)).mean()
+    assert agree_aq > 0.9, agree_aq
 
 
 def test_int8_requires_fused_path():

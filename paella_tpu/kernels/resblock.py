@@ -481,6 +481,12 @@ def fused_resblock_stacked(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hh, ww, c), dtype),
+        # the default 16 MB scoped-vmem limit is layout-sensitive: the SAME
+        # kernel+shapes compiled at ~13.1 MiB standalone but 16.69 MiB inside
+        # one sampler program (operand layouts imposed by surrounding HLO
+        # change Mosaic's relayout buffers). 32 MB keeps compiles robust;
+        # fuse_mode still bounds the working set for pipelining efficiency.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 2**20),
         interpret=interpret,
     )(
         jnp.asarray(rep_idx, jnp.int32).reshape(1),

@@ -459,6 +459,14 @@ class Paella(nn.Module):
             p_c = stacked["0_C"]
             cw = p_c["channelwise"]
             bgrid = fuse_mode(h.shape, h.dtype, cfg.c_hidden[i], cfg.kernel_size) == "batch"
+            # true W8A8 (cfg.act_quant + quantized weights): fc matmuls run as
+            # s8 x s8 inside the fused kernel; the attention qkvo matmuls run
+            # as s8 x s8 XLA dots with per-row dynamic activation quant.
+            act_q = (
+                cfg.act_quant
+                and cw["fc1"].get("kernel_scale") is not None
+                and cw["fc2"].get("kernel_scale") is not None
+            )
 
             film_all = None
             if len(pattern) > 1 and pattern[1] == "T":
@@ -505,6 +513,11 @@ class Paella(nn.Module):
                 b_q = pa_att["q"]["bias"].astype(dtype)
                 w_o = pa_att["o"]["kernel"].astype(dtype)
                 b_o = pa_att["o"]["bias"].astype(dtype)
+                # NB: qkvo as s8 x s8 XLA dots (per-row dynamic activation
+                # quant) was tried and MEASURED SLOWER (sampler 110.1 vs
+                # 108.4 p50): these matmuls are dispatch/overhead-bound
+                # (56 us/rep vs ~39 floor), so the out-of-kernel quant VPU
+                # work exceeds the s8 MAC savings. W8A8 stays fc-only.
 
                 c_i = cfg.c_hidden[i]
                 b_, hh_, ww_ = h.shape[0], h.shape[1], h.shape[2]
@@ -603,15 +616,8 @@ class Paella(nn.Module):
                     out = out.reshape(b, n_pix, c) @ w_o[idx] + b_o[idx]
                     return x + out.reshape(b, hh_, ww_, c).astype(x.dtype)
 
-            # true W8A8 (cfg.act_quant + quantized weights): the kernel runs
-            # its fc matmuls as s8 x s8 on the MXU with in-kernel dynamic
-            # per-row activation quantization. beta @ W2 can't join an s8 dot,
-            # so it's precomputed here per repetition (loop-invariant).
-            act_q = (
-                cfg.act_quant
-                and cw["fc1"].get("kernel_scale") is not None
-                and cw["fc2"].get("kernel_scale") is not None
-            )
+            # beta @ W2 can't join an s8 dot; precompute per repetition
+            # (loop-invariant) for the kernel's act_quant path.
             beta_w2_all = None
             if act_q:
                 beta_w2_all = (

@@ -73,8 +73,10 @@ def fuse_mode(
     Batch-grid mode at b > 8 pays one extra copy of the (HW, 4C) h scratch:
     measured by scoped-vmem-limit bisection on the up-0 skip block (13.1 MiB
     flat for b=2..8, then 18.1 MiB at b=16 — a +5.24 MiB step equal to the h
-    scratch; Mosaic double-buffers scratch at larger outer grids). The gate
-    charges it from b=9 to stay conservative between the probed points.
+    scratch; Mosaic double-buffers scratch at larger outer grids). The
+    pallas_call's 32 MB vmem limit absorbs it, and fusing at b=16 is FASTER
+    than the XLA fallback (batch-8 sampler 606.3 vs 624.0 ms p50 A/B,
+    scripts/ab_batch16_fuse.py) — so the budget model does NOT charge it.
     """
     b, h, w, ch = x_shape
     if ch != c or kernel_size != 3 or c % 128 or (4 * c) % 512:
@@ -85,8 +87,7 @@ def fuse_mode(
     per_batch_act = h * w * (5 + in_planes) * c * itemsize
     if b * per_batch_act + weights <= vmem_budget:
         return "full"
-    batch_extra = h * w * 4 * c * itemsize if b > 8 else 0
-    if per_batch_act + batch_extra + weights <= vmem_budget:
+    if per_batch_act + weights <= vmem_budget:
         return "batch"
     return None
 

@@ -519,6 +519,10 @@ def fused_resblock(
     fc2_kernel: Array,
     fc2_bias: Array,
     film_ab: Optional[Array] = None,
+    fc1_scale: Optional[Array] = None,
+    fc2_scale: Optional[Array] = None,
+    act_quant: bool = False,
+    beta_w2: Optional[Array] = None,  # (C,) or (1, C)
     tile_n1: int = 512,
     tile_n2: int = 128,
     batch_grid: bool = False,
@@ -532,6 +536,8 @@ def fused_resblock(
     (3,3,2,C) with skip (the UNet skip-concat first repetition).
     fc1: (C, 4C); fc2: (4C, C); grn gamma/beta: (4C,).
     film_ab: (B, 2C) — TimestepBlock mapper output [a | b], or None.
+    fc1_scale/fc2_scale: per-out-channel f32 scales when the fc kernels are
+    int8; act_quant additionally runs them as s8 x s8 (needs beta_w2).
     """
     return fused_resblock_stacked(
         x,
@@ -545,6 +551,10 @@ def fused_resblock(
         fc2_bias.reshape(1, -1),
         0,
         film_ab=None if film_ab is None else film_ab[None],
+        fc1_scale=None if fc1_scale is None else fc1_scale.reshape(1, -1),
+        fc2_scale=None if fc2_scale is None else fc2_scale.reshape(1, -1),
+        act_quant=act_quant,
+        beta_w2=None if beta_w2 is None else beta_w2.reshape(1, -1),
         tile_n1=tile_n1,
         tile_n2=tile_n2,
         batch_grid=batch_grid,

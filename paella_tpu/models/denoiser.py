@@ -83,6 +83,7 @@ class BlockGroup(nn.Module):
     deterministic: bool = True
     attention_impl: str = "xla"
     fused_blocks: bool = False
+    act_quant: bool = False
 
     @nn.compact
     def __call__(self, x, r_embed, c_embed, cond_mask, cond_reweight):
@@ -109,6 +110,7 @@ class BlockGroup(nn.Module):
                     kernel_size=self.kernel_size,
                     out_init_scale=self.out_init_scale,
                     dtype=self.dtype,
+                    act_quant=self.act_quant,
                     name=name,
                 )(x, film_ab)
                 k += consumed
@@ -362,7 +364,7 @@ class Paella(nn.Module):
             )
             h = layer_norm(in_embedding(x)).astype(dtype)
         h = space_to_depth_pmajor(h, cfg.patch_size)
-        ek, eb = _DenseParams(
+        ek, eb, _ = _DenseParams(
             cfg.c_in * cfg.patch_size**2,
             cfg.c_hidden[0],
             tinit.xavier_uniform(0.02),
@@ -403,6 +405,7 @@ class Paella(nn.Module):
                         kernel_size=cfg.kernel_size,
                         out_init_scale=out_scale,
                         dtype=dtype,
+                        act_quant=cfg.act_quant,
                         name=name,
                     )(h, film_ab, x_skip=x_skip)
                     k += consumed
@@ -707,6 +710,7 @@ class Paella(nn.Module):
                 deterministic=deterministic,
                 attention_impl=cfg.attention_impl,
                 fused_blocks=cfg.fused_blocks,
+                act_quant=cfg.act_quant,
                 name=f"{prefix}_{i}_rest",
             )
             h, _ = scanned(h, r_embed, c_embed, cond_mask, cond_reweight)
@@ -734,7 +738,7 @@ class Paella(nn.Module):
         # patch-major trick as the input: clf's output columns are permuted so
         # the un-patchify moves contiguous c-blocks; params stay torch-ordered.
         h = layer_norm(h)
-        ck, cb = _DenseParams(
+        ck, cb, _ = _DenseParams(
             cfg.c_hidden[0],
             cfg.c_out * cfg.patch_size**2,
             tinit.zeros,

@@ -141,7 +141,11 @@ class GroupedDepthwiseConv(nn.Module):
 
 class _DenseParams(nn.Module):
     """Declares nn.Dense's exact param tree without computing — the fused
-    ResBlock kernel consumes raw kernels (checkpoint-compatible paths)."""
+    ResBlock kernel consumes raw kernels (checkpoint-compatible paths).
+
+    Returns (kernel, bias, scale): scale is the per-out-channel f32 scale a
+    quantized tree (quant.quantize_paella_int8 include_first=True) stores as
+    a 'kernel_scale' sibling, or None on float trees (never created at init)."""
 
     in_features: int
     features: int
@@ -151,7 +155,12 @@ class _DenseParams(nn.Module):
     def __call__(self):
         k = self.param("kernel", self.kernel_init, (self.in_features, self.features))
         b = self.param("bias", tinit.zeros, (self.features,))
-        return k, b
+        s = (
+            self.get_variable("params", "kernel_scale")
+            if self.has_variable("params", "kernel_scale")
+            else None
+        )
+        return k, b, s
 
 
 class _GRNParams(nn.Module):
@@ -201,6 +210,7 @@ class FusedResBlock(nn.Module):
     kernel_size: int = 3
     out_init_scale: float = 1.0
     dtype: jnp.dtype = jnp.float32
+    act_quant: bool = False
 
     @nn.compact
     def __call__(
@@ -221,6 +231,16 @@ class FusedResBlock(nn.Module):
         )()
         mode = fuse_mode(x.shape, self.dtype, self.c, kh, with_skip=cpg == 2)
         assert mode is not None, (x.shape, self.c)  # callers gate on fuse_mode
+        # W8A8 engages only when the tree carries quantized fc kernels
+        act_q = self.act_quant and fc1[2] is not None and fc2[2] is not None
+        beta_w2 = None
+        if act_q:
+            beta_w2 = (
+                jnp.einsum(
+                    "k,kn->n", grn[1].astype(jnp.float32), fc2[0].astype(jnp.float32)
+                )
+                * fc2[2]
+            )[None, :]
         return fused_resblock(
             x.astype(self.dtype),
             dwp[0], dwp[1],
@@ -228,6 +248,10 @@ class FusedResBlock(nn.Module):
             grn[0], grn[1],
             fc2[0], fc2[1],
             film_ab=None if film_ab is None else film_ab.astype(self.dtype),
+            fc1_scale=fc1[2],
+            fc2_scale=fc2[2],
+            act_quant=act_q,
+            beta_w2=beta_w2,
             batch_grid=mode == "batch",
             skip=None if x_skip is None else x_skip.astype(self.dtype),
         )

@@ -33,24 +33,39 @@ def dequantize_dense_int8(q: Array, scale: Array, dtype=jnp.float32) -> Array:
     return (q.astype(jnp.float32) * scale[..., None, :]).astype(dtype)
 
 
-def quantize_paella_int8(params, levels: Sequence[int] = (1, 2)):
+def quantize_paella_int8(
+    params, levels: Sequence[int] = (1, 2), include_first: bool = False
+):
     """int8-quantize the scan-stacked channelwise fc1/fc2 kernels of the given
     UNet levels (the repetitions the fused kernel executes; level 0 stays on
     the XLA path at 256^2 and keeps bf16 weights). Returns a NEW params tree
     where those 'kernel' leaves are int8 with 'kernel_scale' siblings.
+
+    include_first=True also quantizes each level's FIRST repetition (the
+    {down,up}_{i}_0_{k}_C blocks, incl. the skip-concat ones) — valid only
+    when those blocks run the fused kernel path (fused_blocks=True and
+    fuse-eligible shapes): the XLA ResBlock path has no meaning for the codes.
     """
+    import re
+
     import flax
 
     flat = flax.traverse_util.flatten_dict(flax.core.unfreeze(params))
     out = dict(flat)
     stems = tuple(f"{d}_{i}_rest" for d in ("down", "up") for i in levels)
+    first_re = re.compile(
+        r"^(down|up)_(" + "|".join(str(i) for i in levels) + r")_0_\d+_C$"
+    )
     for path, leaf in flat.items():
         if (
             len(path) >= 4
-            and path[0] in stems
             and path[-3] == "channelwise"
             and path[-2] in ("fc1", "fc2")
             and path[-1] == "kernel"
+            and (
+                path[0] in stems
+                or (include_first and first_re.match(path[0]))
+            )
         ):
             q, s = quantize_dense_int8(leaf)
             out[path] = q

@@ -48,7 +48,7 @@ def main():
     params = to_bf16(params_f32)
     import flax
 
-    qtree = quantize_paella_int8(params_f32, levels=(0, 1, 2))
+    qtree = quantize_paella_int8(params_f32, levels=(0, 1, 2), include_first=True)
     # bf16 everything except the int8 codes and their f32 scales
     flat = flax.traverse_util.flatten_dict(flax.core.unfreeze(qtree))
     qparams = flax.traverse_util.unflatten_dict(

@@ -120,7 +120,7 @@ def test_quantized_model_close_to_float():
         init_params(model, jax.random.PRNGKey(0), latent_hw=(16, 16)),
         jax.random.PRNGKey(9),
     )
-    qparams = quantize_paella_int8(params, levels=(0, 1))
+    qparams = quantize_paella_int8(params, levels=(0, 1), include_first=True)
 
     x = jax.random.randint(jax.random.PRNGKey(1), (2, 16, 16), 0, base.num_labels)
     r = jnp.array([0.3, 0.8])

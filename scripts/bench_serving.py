@@ -1,0 +1,115 @@
+"""Full serving-path latency: ByT5-XL encode + 8-step sample + decode.
+
+Measures per-request wall with the REAL conditioning tower (random weights —
+timing only), two ways:
+- sequential: encode -> sample -> decode -> fetch, one request at a time
+- pipelined: dispatch request N+1's encode while N's sample/decode still run
+  (JAX async dispatch overlaps them on one chip's queue)
+
+    python scripts/bench_serving.py --requests 12
+"""
+from __future__ import annotations
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import dataclasses
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--requests", type=int, default=12)
+    ap.add_argument("--steps", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from paella_tpu.codec import VQModel
+    from paella_tpu.cond import T5Config, T5Encoder, byt5_batch_encode
+    from paella_tpu.config import PaellaConfig, SampleConfig, VQConfig
+    from paella_tpu.models import Paella, init_params
+    from paella_tpu.sampling import Conditioning, fast_key, sample
+
+    # ByT5-XL tower, bf16 (random weights; timing only)
+    t5_cfg = T5Config.byt5_xl(dtype="bfloat16")
+    t5 = T5Encoder(t5_cfg)
+    ids0, mask0 = byt5_batch_encode(["a corgi wearing a top hat"], max_length=64)
+    pad = 64 - ids0.shape[1]
+    ids0 = np.pad(ids0, ((0, 0), (0, pad)))
+    mask0 = np.pad(mask0, ((0, 0), (0, pad)))
+    t5_params = jax.jit(t5.init)(
+        jax.random.PRNGKey(0), jnp.asarray(ids0), jnp.asarray(mask0)
+    )["params"]
+    t5_params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), t5_params)
+    encode = jax.jit(lambda i, m: t5.apply({"params": t5_params}, i, m))
+
+    p_cfg = PaellaConfig.v1_byt5_xl_inference()
+    model = Paella(p_cfg)
+    params = init_params(model, jax.random.PRNGKey(1), latent_hw=(64, 64))
+    params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params)
+    vq = VQModel(dataclasses.replace(VQConfig(), dtype="bfloat16"))
+    vq_vars = jax.jit(lambda k: vq.init(k, jnp.zeros((1, 256, 256, 3))))(
+        jax.random.PRNGKey(2)
+    )
+    vq_vars = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, vq_vars
+    )
+    decode = jax.jit(
+        lambda ix: (
+            jnp.clip(vq.apply(vq_vars, ix, method=VQModel.decode_indices), 0, 1) * 255
+        ).astype(jnp.uint8)
+    )
+    s_cfg = SampleConfig(steps=args.steps, categorical_impl="pallas")
+    kc = jax.random.PRNGKey(3)
+    clip = jax.random.normal(kc, (1, p_cfg.clip_embd), jnp.bfloat16)
+    uncond = Conditioning(
+        byt5=jnp.zeros((1, 2, p_cfg.byt5_embd), jnp.bfloat16),
+        clip=jnp.zeros((1, p_cfg.clip_embd), jnp.bfloat16),
+    )
+
+    def request(ids, mask):
+        states = encode(ids, mask)
+        cond = Conditioning(byt5=states.astype(jnp.bfloat16), byt5_mask=mask, clip=clip)
+        toks = sample(model, params, fast_key(int(ids[0, 0])), cond, (1, 64, 64), uncond, s_cfg)
+        return decode(toks)
+
+    ids = jnp.asarray(ids0)
+    mask = jnp.asarray(mask0)
+    print("compiling...", flush=True)
+    np.asarray(request(ids, mask))  # compile all three
+
+    # sequential
+    ts = []
+    for i in range(args.requests):
+        t0 = time.perf_counter()
+        np.asarray(request(ids, mask))
+        ts.append((time.perf_counter() - t0) * 1000)
+    seq = np.array(ts)
+
+    # pipelined: dispatch next encode before fetching current image
+    t0 = time.perf_counter()
+    imgs = []
+    states = encode(ids, mask)
+    for i in range(args.requests):
+        cond = Conditioning(byt5=states.astype(jnp.bfloat16), byt5_mask=mask, clip=clip)
+        toks = sample(model, params, fast_key(i), cond, (1, 64, 64), uncond, s_cfg)
+        img = decode(toks)
+        if i + 1 < args.requests:
+            states = encode(ids, mask)  # overlaps with the queued sample/decode
+        imgs.append(np.asarray(img))
+    pipe = (time.perf_counter() - t0) * 1000 / args.requests
+
+    print(f"sequential: p50 {np.percentile(seq, 50):.1f} ms/request  p10 {np.percentile(seq, 10):.1f}")
+    print(f"pipelined : {pipe:.1f} ms/request steady-state")
+
+
+if __name__ == "__main__":
+    main()

@@ -38,17 +38,29 @@ def main():
     from paella_tpu.models import Paella, init_params
     from paella_tpu.sampling import Conditioning, fast_key, sample
 
-    # ByT5-XL tower, bf16 (random weights; timing only)
+    # ByT5-XL tower, bf16 (random weights; timing only). Do NOT init the
+    # 3.7B tower on the tunneled TPU in f32 — eval_shape + jit'd bf16
+    # generation like scripts/bench_byt5.py (f32 init + cast peaks ~15 GB
+    # HBM and the compile crawls).
     t5_cfg = T5Config.byt5_xl(dtype="bfloat16")
     t5 = T5Encoder(t5_cfg)
     ids0, mask0 = byt5_batch_encode(["a corgi wearing a top hat"], max_length=64)
     pad = 64 - ids0.shape[1]
     ids0 = np.pad(ids0, ((0, 0), (0, pad)))
     mask0 = np.pad(mask0, ((0, 0), (0, pad)))
-    t5_params = jax.jit(t5.init)(
-        jax.random.PRNGKey(0), jnp.asarray(ids0), jnp.asarray(mask0)
+    shapes = jax.eval_shape(
+        lambda k: t5.init(k, jnp.zeros((1, 16), jnp.int32), jnp.ones((1, 16), bool)),
+        jax.random.PRNGKey(0),
     )["params"]
-    t5_params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), t5_params)
+
+    @jax.jit
+    def make_t5_params():
+        k = jax.random.key(0, impl="rbg")
+        return jax.tree_util.tree_map(
+            lambda l: jax.random.normal(k, l.shape, jnp.bfloat16) * 0.02, shapes
+        )
+
+    t5_params = make_t5_params()
     encode = jax.jit(lambda i, m: t5.apply({"params": t5_params}, i, m))
 
     p_cfg = PaellaConfig.v1_byt5_xl_inference()

@@ -102,6 +102,18 @@ def main():
     p50 = times[len(times) // 2]
     images_per_sec = BATCH / p50
 
+    # sampling-only p50: block on the token grid (16 KB) instead of fetching
+    # the image — excludes the codec decode AND the image fetch, whose tunnel
+    # cost swings e2e p50s by +-15 ms between runs (working notes). This is
+    # the tunnel-stable metric to compare round over round.
+    s_times = []
+    for i in range(12):
+        t0 = time.perf_counter()
+        sample(model, params, rbg_key(100 + i), cond, LATENT, uncond, s_cfg).block_until_ready()
+        s_times.append(time.perf_counter() - t0)
+    s_times.sort()
+    s_p50 = s_times[len(s_times) // 2]
+
     print(
         json.dumps(
             {
@@ -113,6 +125,9 @@ def main():
                 "steps": STEPS,
                 "p10_ms": round(times[1] * 1000, 2),
                 "p90_ms": round(times[-2] * 1000, 2),
+                "sampling_only_p50_ms": round(s_p50 * 1000, 2),
+                "sampling_only_p10_ms": round(s_times[1] * 1000, 2),
+                "sampling_only_p90_ms": round(s_times[-2] * 1000, 2),
                 "device": str(jax.devices()[0]),
             }
         )

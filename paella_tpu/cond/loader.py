@@ -109,7 +109,9 @@ def load_open_clip(
 
     @jax.jit
     def image_encode(images: Array) -> Array:
-        return vision_model.apply({"params": vision_params}, clip_preprocess(images))
+        return vision_model.apply(
+            {"params": vision_params}, clip_preprocess(images, vision_cfg.image_size)
+        )
 
     return text_encode, image_encode
 
@@ -119,17 +121,32 @@ def load_conditional_models(
     byt5_path: Optional[str] = None,
     byt5_cfg: Optional[T5Config] = None,
     clip_path: Optional[str] = None,
+    clip_bpe_path: Optional[str] = None,
+    clip_tokenizer: Optional[Callable[[Sequence[str]], np.ndarray]] = None,
+    clip_text_cfg: Optional[CLIPTextConfig] = None,
+    clip_vision_cfg: Optional[CLIPVisionConfig] = None,
     vq_cfg: VQConfig = VQConfig(),
 ) -> ConditionalModels:
     """One-call loader mirroring reference load_conditional_models
-    (src_distributed/utils.py:65-82): frozen VQGAN (+ optionally ByT5 + CLIP)."""
+    (src_distributed/utils.py:65-82): frozen VQGAN (+ optionally ByT5 + CLIP).
+
+    CLIP needs a tokenizer: pass `clip_bpe_path` (the standard
+    bpe_simple_vocab_16e6.txt.gz merge table) for the native BPE, or
+    `clip_tokenizer` (prompts -> (B,77) ids) to override.
+    """
     vq, vq_vars = load_vqgan(vqgan_path, vq_cfg)
     byt5_encode = None
     if byt5_path is not None:
         byt5_encode = load_byt5(byt5_path, byt5_cfg or T5Config.byt5_xl())
     clip_text = clip_image = None
     if clip_path is not None:
-        clip_text, clip_image = load_open_clip(clip_path)
+        clip_text, clip_image = load_open_clip(
+            clip_path,
+            text_cfg=clip_text_cfg or CLIPTextConfig.vit_h_14(),
+            vision_cfg=clip_vision_cfg or CLIPVisionConfig.vit_h_14(),
+            tokenizer=clip_tokenizer,
+            bpe_path=clip_bpe_path,
+        )
     return ConditionalModels(
         vq=vq,
         vq_vars=vq_vars,

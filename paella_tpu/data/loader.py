@@ -168,7 +168,13 @@ class WebDatasetLoader:
     Yields (images (B, size, size, 3) float32 NHWC, captions list[str]) batches.
     Shards are resampled indefinitely (reference: wds.WebDataset(resampled=True))
     with a shuffle buffer (reference buffer: 690) and metadata filtering.
-    For multi-host training, pass distinct `shard_offset`/`shard_stride`.
+
+    Multi-host training: shard_offset/shard_stride default to
+    jax.process_index()/jax.process_count() (resolved lazily at iteration time,
+    after jax.distributed.initialize), so every host reads a DISJOINT shard
+    subset out of the box — the reference got per-rank streams implicitly from
+    one webdataset per DDP process (src_distributed/utils.py:55-62). Pass
+    explicit values to override (e.g. 0/1 to force the full set).
     """
 
     shards: Sequence[str]
@@ -179,15 +185,29 @@ class WebDatasetLoader:
         default_factory=SampleFilter
     )
     seed: int = 0
-    shard_offset: int = 0
-    shard_stride: int = 1
+    shard_offset: Optional[int] = None  # default: jax.process_index()
+    shard_stride: Optional[int] = None  # default: jax.process_count()
     resample: bool = True
+
+    def _resolve_sharding(self) -> Tuple[int, int]:
+        offset, stride = self.shard_offset, self.shard_stride
+        if offset is None or stride is None:
+            import jax
+
+            offset = jax.process_index() if offset is None else offset
+            stride = jax.process_count() if stride is None else stride
+        return offset, stride
 
     def _sample_stream(self) -> Iterator[Tuple[np.ndarray, str]]:
         rng = random.Random(self.seed)
-        shards = list(self.shards)[self.shard_offset :: self.shard_stride]
+        offset, stride = self._resolve_sharding()
+        shards = list(self.shards)[offset::stride]
         if not shards:
-            return
+            raise ValueError(
+                f"host {offset} gets no shards: {len(list(self.shards))} shard(s) "
+                f"across stride {stride} — provide at least one shard per host "
+                "(or set shard_offset/shard_stride explicitly)"
+            )
         epoch = 0
         while True:
             order = shards[:]

@@ -11,10 +11,13 @@ Design:
   eigendecomposition is microseconds on CPU and f32-on-TPU would change the
   third digit.
 - Feature extraction is pluggable. The classic metric uses InceptionV3-pool3
-  features (weights must be user-supplied under this zero-egress environment,
-  like every other pretrained checkpoint); `clip_image_features` wires the
-  in-repo CLIP vision tower for the CLIP-FID variant (Kynkäänniemi et al.
-  2023's recommendation) with no external dependency.
+  features — the network + torch-weights converter live in eval/inception.py
+  (`load_inception(path)` gives the jit'd featurizer; the standard
+  pt_inception-2015-12-05 weights must be user-supplied under this
+  zero-egress environment, like every other pretrained checkpoint);
+  `clip_image_features` wires the in-repo CLIP vision tower for the CLIP-FID
+  variant (Kynkäänniemi et al. 2023's recommendation) with no external
+  dependency.
 - CLIP score is the jit'd on-device path: 100 * max(0, cosine(text, image)),
   the torchmetrics/openai convention.
 """
@@ -123,7 +126,7 @@ def clip_score_images(
 ) -> Array:
     """End-to-end CLIP score for (tokenized prompts, generated images); one jit.
 
-    token_ids: (B, 77) from cond/tokenizers.py::clip_bpe_tokenize.
+    token_ids: (B, 77) from cond/tokenizers.py::CLIPTokenizer.__call__.
     images: (B, H, W, 3) NHWC in [0,1] (or uint8).
     """
     extract = clip_image_features(vision_model, vision_params)

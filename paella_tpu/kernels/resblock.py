@@ -52,6 +52,7 @@ def fuse_mode(
     kernel_size: int,
     with_skip: bool = False,
     vmem_budget: int = 14 * 2**20,
+    weight_itemsize: Optional[int] = None,
 ) -> Optional[str]:
     """Static gate for the fused ResBlock kernel.
 
@@ -82,8 +83,12 @@ def fuse_mode(
     if ch != c or kernel_size != 3 or c % 128 or (4 * c) % 512:
         return None
     itemsize = jnp.dtype(dtype).itemsize
+    # int8 fc kernels (quant.quantize_paella_int8) halve/quarter the streamed
+    # weight-tile bytes; budgeting them at the activation itemsize made some
+    # quantized geometries fall back to batch-grid/XLA unnecessarily.
+    w_itemsize = itemsize if weight_itemsize is None else weight_itemsize
     in_planes = 3 if with_skip else 1  # x (+ xa, xb)
-    weights = (c * 512 + 4 * c * 128) * 2 * itemsize  # double-buffered fc tiles
+    weights = (c * 512 + 4 * c * 128) * 2 * w_itemsize  # double-buffered fc tiles
     per_batch_act = h * w * (5 + in_planes) * c * itemsize
     if b * per_batch_act + weights <= vmem_budget:
         return "full"

@@ -74,8 +74,12 @@ def _head_kernel(
     if with_cfg:
         w = cfgw_ref[0]
         f = f * w + fu_ref[...].astype(jnp.float32) * (1.0 - w)
-    # CFG mix in f32 then bf16 for the MXU — the exact op order of the
-    # sampler's XLA path (sampling/sampler.py::head), so parity holds.
+    # CFG mix in f32 then bf16 into the MXU. Near-parity note: this dot keeps
+    # the f32 MXU accumulator, while the XLA path's head() emits bf16-rounded
+    # logits before the f32 upcast — so draws are bit-equal to
+    # gumbel_categorical composed after a bf16 head matmul (what
+    # test_fused_head_matches_composed_path pins), NOT to the full XLA
+    # sampler path bit-for-bit.
     logits = jax.lax.dot_general(
         f.astype(fc_ref.dtype), w_ref[...],
         dimension_numbers=(((1,), (0,)), ((), ())),

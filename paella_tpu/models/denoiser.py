@@ -53,12 +53,33 @@ from ..nn.functional import (
 )
 
 
-def _can_fuse_resblock(x, c: int, kernel_size: int, with_skip: bool = False) -> bool:
+def _can_fuse_resblock(
+    x, c: int, kernel_size: int, with_skip: bool = False, weight_itemsize=None
+) -> bool:
     """Static gate for the fused ResBlock kernel (kernels/resblock.py::fuse_mode):
     tile-aligned channels and VMEM-resident scratch — full-batch when it fits,
     per-batch-item grid otherwise (how the 1B level-0 blocks fuse). Blocks that
     fail both keep the XLA path; the parameter tree is identical either way."""
-    return fuse_mode(x.shape, x.dtype, c, kernel_size, with_skip=with_skip) is not None
+    return (
+        fuse_mode(
+            x.shape, x.dtype, c, kernel_size,
+            with_skip=with_skip, weight_itemsize=weight_itemsize,
+        )
+        is not None
+    )
+
+
+def _fc_weight_itemsize(mdl, name: str, rep_key: Optional[str] = None):
+    """Bytes/elem of a block's fc1 kernel when its params already exist (apply
+    time), else None (init). Lets fuse_mode budget int8 fc weights at their
+    true tile size instead of the activation dtype's."""
+    if mdl.is_initializing() or not mdl.has_variable("params", name):
+        return None
+    p = mdl.get_variable("params", name)
+    if rep_key is not None:
+        p = p.get(rep_key, {})
+    k1 = p.get("channelwise", {}).get("fc1", {}).get("kernel")
+    return None if k1 is None else jnp.dtype(k1.dtype).itemsize
 
 Array = jax.Array
 
@@ -96,7 +117,10 @@ class BlockGroup(nn.Module):
                 bt == "C"
                 and self.fused_blocks
                 and self.deterministic
-                and _can_fuse_resblock(x, self.c, self.kernel_size)
+                and _can_fuse_resblock(
+                    x, self.c, self.kernel_size,
+                    weight_itemsize=_fc_weight_itemsize(self, name),
+                )
             ):
                 film_ab = None
                 consumed = 1
@@ -388,7 +412,9 @@ class Paella(nn.Module):
                     and deterministic
                     and (x_skip is None or x_skip.shape[-1] == cfg.c_hidden[i])
                     and _can_fuse_resblock(
-                        h, cfg.c_hidden[i], cfg.kernel_size, with_skip=x_skip is not None
+                        h, cfg.c_hidden[i], cfg.kernel_size,
+                        with_skip=x_skip is not None,
+                        weight_itemsize=_fc_weight_itemsize(self, name),
                     )
                 ):
                     film_ab = None
@@ -411,6 +437,23 @@ class Paella(nn.Module):
                     k += consumed
                     continue
                 if bt == "C":
+                    # Same hazard guard as rest_reps: int8 kernels (quant.
+                    # quantize_paella_int8 include_first=True) are codes, not
+                    # weights — the XLA Dense fallback would silently cast
+                    # them to bf16 and produce garbage.
+                    if not self.is_initializing() and self.has_variable("params", name):
+                        pb = self.get_variable("params", name)
+                        if any(
+                            getattr(l, "dtype", None) == jnp.int8
+                            for l in jax.tree_util.tree_leaves(pb)
+                        ):
+                            raise ValueError(
+                                f"{name} holds int8 weights but is not on the "
+                                "fused kernel path (fuse gate failed or "
+                                "fused_blocks/deterministic off) — int8 codes "
+                                "have no meaning to the XLA Dense path. Use a "
+                                "fuse-eligible geometry or keep this block bf16."
+                            )
                     c_skip = skip.shape[-1] if (skip is not None and k == 0) else 0
                     h = ResBlock(
                         cfg.c_hidden[i],
@@ -461,7 +504,13 @@ class Paella(nn.Module):
             reps = cfg.blocks[i] - 1
             p_c = stacked["0_C"]
             cw = p_c["channelwise"]
-            bgrid = fuse_mode(h.shape, h.dtype, cfg.c_hidden[i], cfg.kernel_size) == "batch"
+            bgrid = (
+                fuse_mode(
+                    h.shape, h.dtype, cfg.c_hidden[i], cfg.kernel_size,
+                    weight_itemsize=jnp.dtype(cw["fc1"]["kernel"].dtype).itemsize,
+                )
+                == "batch"
+            )
             # true W8A8 (cfg.act_quant + quantized weights): fc matmuls run as
             # s8 x s8 inside the fused kernel; the attention qkvo matmuls run
             # as s8 x s8 XLA dots with per-row dynamic activation quant.
@@ -673,7 +722,12 @@ class Paella(nn.Module):
                 and deterministic
                 and not self.is_initializing()
                 and pattern in ("CT", "CTA")
-                and _can_fuse_resblock(h, cfg.c_hidden[i], cfg.kernel_size)
+                and _can_fuse_resblock(
+                    h, cfg.c_hidden[i], cfg.kernel_size,
+                    weight_itemsize=_fc_weight_itemsize(
+                        self, f"{prefix}_{i}_rest", rep_key="0_C"
+                    ),
+                )
             ):
                 return rest_reps_fused(prefix, i, h)
             if not self.is_initializing():

@@ -229,7 +229,10 @@ class FusedResBlock(nn.Module):
         fc1, grn, fc2 = _ChannelwiseParams(
             self.c, self.out_init_scale, name="channelwise"
         )()
-        mode = fuse_mode(x.shape, self.dtype, self.c, kh, with_skip=cpg == 2)
+        mode = fuse_mode(
+            x.shape, self.dtype, self.c, kh, with_skip=cpg == 2,
+            weight_itemsize=jnp.dtype(fc1[0].dtype).itemsize,
+        )
         assert mode is not None, (x.shape, self.c)  # callers gate on fuse_mode
         # W8A8 engages only when the tree carries quantized fc kernels
         act_q = self.act_quant and fc1[2] is not None and fc2[2] is not None

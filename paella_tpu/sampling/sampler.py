@@ -150,10 +150,6 @@ def _build_cond_cache(model, params, c: Conditioning, enabled: bool = True):
     )
 
 
-@partial(
-    jax.jit,
-    static_argnames=("model", "config", "latent_shape"),
-)
 def sample(
     model: Any,
     params: Any,
@@ -173,6 +169,12 @@ def sample(
     steps/renoise_steps/temperature/cfg/t_start/t_end/sampling_conditional_steps
     live in `config`; init_x is the img2img start. fixed_mask/fixed_tokens pin
     token positions every step (inpainting: True = keep fixed_tokens there).
+
+    Compilation: only the STRUCTURE of the schedule is static (steps,
+    sampling_conditional_steps, categorical_impl, cond_cache, whether CFG is
+    on). The schedule VALUES — cfg weights, temperatures, t_start/t_end,
+    renoise_steps — are traced operands, so a server sweeping guidance
+    weights or temperatures per request reuses one compiled program.
     """
     cfg = config.resolved()
     b, h, w = latent_shape
@@ -184,8 +186,64 @@ def sample(
         )
     if (fixed_mask is None) != (fixed_tokens is None):
         raise ValueError("fixed_mask and fixed_tokens must be passed together")
-    num_labels = model.config.num_labels
     do_cfg = cfg.cfg is not None and unconditional is not None
+    n_cfg_steps = min(cfg.sampling_conditional_steps, cfg.steps) if do_cfg else 0
+    schedule = {
+        "t_span": jnp.asarray([cfg.t_start, cfg.t_end], jnp.float32),
+        "temperature": jnp.asarray(cfg.temperature, jnp.float32),
+        "cfg": jnp.asarray(cfg.cfg if do_cfg else (0.0, 0.0), jnp.float32),
+        "renoise_steps": jnp.asarray(cfg.renoise_steps, jnp.int32),
+    }
+    return _sample_jit(
+        model,
+        params,
+        key,
+        conditioning,
+        latent_shape,
+        unconditional if do_cfg else None,
+        schedule,
+        cfg.steps,
+        n_cfg_steps,
+        cfg.categorical_impl,
+        cfg.cond_cache,
+        init_x,
+        fixed_mask,
+        fixed_tokens,
+        cond_reweight,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "model",
+        "latent_shape",
+        "steps",
+        "n_cfg_steps",
+        "categorical_impl",
+        "cond_cache_on",
+    ),
+)
+def _sample_jit(
+    model: Any,
+    params: Any,
+    key: Array,
+    conditioning: Conditioning,
+    latent_shape: tuple[int, int, int],
+    unconditional: Optional[Conditioning],
+    schedule: dict,
+    steps: int,
+    n_cfg_steps: int,
+    categorical_impl: str,
+    cond_cache_on: bool,
+    init_x: Optional[Array],
+    fixed_mask: Optional[Array],
+    fixed_tokens: Optional[Array],
+    cond_reweight: Optional[Array],
+) -> Array:
+    b, h, w = latent_shape
+    num_labels = model.config.num_labels
+    do_cfg = unconditional is not None
 
     key, k_init = jax.random.split(key)
     init_noise = jax.random.randint(k_init, latent_shape, 0, num_labels, jnp.int32)
@@ -193,24 +251,22 @@ def sample(
     if fixed_mask is not None:
         sampled = jnp.where(fixed_mask, fixed_tokens, sampled)
 
-    t_list = jnp.linspace(cfg.t_start, cfg.t_end, cfg.steps + 1)
-    temperatures = jnp.linspace(cfg.temperature[0], cfg.temperature[1], cfg.steps)
-    cfgs = (
-        jnp.linspace(cfg.cfg[0], cfg.cfg[1], cfg.steps)
-        if do_cfg
-        else jnp.zeros((cfg.steps,))
+    t_list = jnp.linspace(schedule["t_span"][0], schedule["t_span"][1], steps + 1)
+    temperatures = jnp.linspace(
+        schedule["temperature"][0], schedule["temperature"][1], steps
     )
+    cfgs = jnp.linspace(schedule["cfg"][0], schedule["cfg"][1], steps)
+    renoise_steps = schedule["renoise_steps"]
 
     merged = merge_cfg_pair(conditioning, unconditional) if do_cfg else conditioning
-    n_cfg_steps = min(cfg.sampling_conditional_steps, cfg.steps) if do_cfg else 0
-    cache_merged = _build_cond_cache(model, params, merged, cfg.cond_cache)
+    cache_merged = _build_cond_cache(model, params, merged, cond_cache_on)
     # the cond-only phase (past sampling_conditional_steps) runs batch B with
     # the conditional inputs only — its own cache. Only built when that phase
     # actually has steps (with the default cutoff == steps it never does).
     if not do_cfg:
         cache_cond = cache_merged
-    elif n_cfg_steps < cfg.steps:
-        cache_cond = _build_cond_cache(model, params, conditioning, cfg.cond_cache)
+    elif n_cfg_steps < steps:
+        cache_cond = _build_cond_cache(model, params, conditioning, cond_cache_on)
     else:
         cache_cond = None
 
@@ -259,7 +315,7 @@ def sample(
                 feat_u = None
 
             # multinomial(softmax(logits/T)) == categorical(logits/T).
-            if cfg.categorical_impl == "pallas":
+            if categorical_impl == "pallas":
                 # head + CFG mix + Gumbel argmax in ONE kernel: the 8192-wide
                 # logits never touch HBM (traced: the XLA path spent
                 # ~430 us/step writing + re-reading them).
@@ -281,7 +337,7 @@ def sample(
             # renoise toward the SAME init_noise (src_distributed/utils.py:123-125)
             t_next_b = jnp.full((b,), t_next, jnp.float32)
             renoised, _ = add_noise(k_noise, new_tokens, t_next_b, num_labels, random_x=init_noise)
-            new_tokens = jnp.where(i < cfg.renoise_steps, renoised, new_tokens)
+            new_tokens = jnp.where(i < renoise_steps, renoised, new_tokens)
 
             if fixed_mask is not None:
                 new_tokens = jnp.where(fixed_mask, fixed_tokens, new_tokens)
@@ -290,9 +346,9 @@ def sample(
         return step
 
     xs = (
-        jnp.arange(cfg.steps),
-        t_list[: cfg.steps],
-        t_list[1 : cfg.steps + 1],
+        jnp.arange(steps),
+        t_list[:steps],
+        t_list[1 : steps + 1],
         temperatures,
         cfgs,
     )
@@ -307,7 +363,7 @@ def sample(
         carry, _ = jax.lax.scan(
             make_step(True), carry, jax.tree_util.tree_map(lambda a: a[:n_cfg], xs)
         )
-    if n_cfg < cfg.steps:
+    if n_cfg < steps:
         carry, _ = jax.lax.scan(
             make_step(False), carry, jax.tree_util.tree_map(lambda a: a[n_cfg:], xs)
         )

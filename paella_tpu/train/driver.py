@@ -199,7 +199,11 @@ def _eval_grid(
         k_t, k_noise = jax.random.split(jax.random.fold_in(key, 1))
         # originals + noised + argmax-reconstruction (the cheapest training
         # sanity signal: one forward, soft-argmax through the codebook and
-        # decode — reference: src_distributed/train.py:155-157)
+        # decode). DELIBERATE delta from the reference: src_distributed/
+        # train.py:155-157 takes a HARD argmax over the logits; here a T=0.1
+        # softmax @ codebook then nearest-neighbor re-quantize — visually
+        # smoother early in training, converges to the same picture as logits
+        # sharpen. Diagnostics-only; no training/sampling math depends on it.
         latents = vq.apply(vq_vars, jnp.asarray(images), method=VQModel.encode)[2]
         t = jnp.clip(1.0 - jax.random.uniform(k_t, (b,)) + 0.001, 0.001, 1.0)
         noised, _ = add_noise(k_noise, latents, t, model.config.num_labels)

@@ -7,6 +7,13 @@ timing only), two ways:
   (JAX async dispatch overlaps them on one chip's queue)
 
     python scripts/bench_serving.py --requests 12
+
+--http drives the ACTUAL HTTP server (paella_tpu/serve.py) through live
+sockets instead of in-process calls: sequential (one request at a time) and
+overlapped (`--concurrency` in flight, steady-state ms/request). This is the
+number the server really delivers, PNG encode and socket included.
+
+    python scripts/bench_serving.py --http --requests 16 --concurrency 3
 """
 from __future__ import annotations
 
@@ -24,6 +31,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--requests", type=int, default=12)
     ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--http", action="store_true", help="drive the real HTTP server")
+    ap.add_argument("--concurrency", type=int, default=3)
     args = ap.parse_args()
 
     import jax
@@ -87,6 +96,10 @@ def main():
         clip=jnp.zeros((1, p_cfg.clip_embd), jnp.bfloat16),
     )
 
+    if args.http:
+        run_http(args, t5, t5_params, model, params, vq, vq_vars)
+        return
+
     def request(ids, mask):
         states = encode(ids, mask)
         cond = Conditioning(byt5=states.astype(jnp.bfloat16), byt5_mask=mask, clip=clip)
@@ -121,6 +134,72 @@ def main():
 
     print(f"sequential: p50 {np.percentile(seq, 50):.1f} ms/request  p10 {np.percentile(seq, 10):.1f}")
     print(f"pipelined : {pipe:.1f} ms/request steady-state")
+
+
+def run_http(args, t5, t5_params, model, params, vq, vq_vars):
+    """Measure through the real PaellaServer over live sockets."""
+    import concurrent.futures
+    import json as _json
+    import time as _time
+    import urllib.request
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from paella_tpu.pipeline import PaellaPipeline
+    from paella_tpu.serve import PaellaServer
+
+    pipe = PaellaPipeline(
+        model=model,
+        params=params,
+        vq=vq,
+        vq_vars=vq_vars,
+        byt5_encode_fn=jax.jit(
+            lambda i, m: t5.apply({"params": t5_params}, i, m).astype(jnp.bfloat16)
+        ),
+        byt5_max_length=64,
+    )
+    srv = PaellaServer(pipe, host="127.0.0.1", port=0)
+    httpd = srv.start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}/generate"
+    prompt = "a corgi wearing a top hat"
+
+    def fire(i, cfg_w=8.0):
+        body = _json.dumps(
+            {"prompt": prompt, "steps": args.steps, "seed": i, "cfg": cfg_w}
+        ).encode()
+        req = urllib.request.Request(
+            url, data=body, headers={"Content-Type": "application/json"}
+        )
+        t0 = _time.perf_counter()
+        with urllib.request.urlopen(req, timeout=3000) as r:
+            png = r.read()
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        return (_time.perf_counter() - t0) * 1000
+
+    print("compiling (first request)...", flush=True)
+    fire(0)
+    # a different cfg must NOT recompile (traced schedule); time it to prove it
+    t_cfg = fire(1, cfg_w=4.0)
+    print(f"cfg=4.0 second request: {t_cfg:.1f} ms (recompile would be >>10s)")
+
+    seq = np.array([fire(100 + i) for i in range(args.requests)])
+    print(
+        f"http sequential: p50 {np.percentile(seq, 50):.1f} ms/request  "
+        f"p10 {np.percentile(seq, 10):.1f}"
+    )
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=args.concurrency) as ex:
+        t0 = _time.perf_counter()
+        lat = list(ex.map(fire, range(200, 200 + args.requests)))
+        wall = (_time.perf_counter() - t0) * 1000
+    print(
+        f"http overlapped (c={args.concurrency}): {wall / args.requests:.1f} "
+        f"ms/request steady-state  (per-request latency p50 "
+        f"{np.percentile(np.array(lat), 50):.1f} ms)"
+    )
+    srv.stop()
 
 
 if __name__ == "__main__":

@@ -11,6 +11,7 @@ import sys
 import pytest
 
 WORKER = os.path.join(os.path.dirname(__file__), "_distributed_worker.py")
+DATA_WORKER = os.path.join(os.path.dirname(__file__), "_data_shard_worker.py")
 
 
 def _free_port() -> int:
@@ -54,3 +55,62 @@ def test_two_process_initialize_and_allreduce():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert "WORKER_OK" in out, f"worker {i} output:\n{out}"
+
+
+def test_two_process_disjoint_data_streams(tmp_path):
+    """WebDatasetLoader's default shard_offset/stride resolve to
+    jax.process_index()/process_count(): two hosts over the same shard list
+    must read DISJOINT, jointly-complete sample streams (reference equivalent:
+    per-rank webdataset workers, src_distributed/utils.py:55-62)."""
+    pytest.importorskip("PIL")
+    from tests.test_data import png_bytes
+
+    from paella_tpu.data import write_tar_shard
+
+    all_caps = set()
+    for s in range(4):
+        samples = []
+        for j in range(3):
+            cap = f"shard{s}_sample{j}"
+            samples.append((cap, {"png": png_bytes(40, 40, s * 10 + j), "txt": cap.encode()}))
+            all_caps.add(cap)
+        write_tar_shard(str(tmp_path / f"shard-{s:03d}.tar"), samples)
+
+    coordinator = f"127.0.0.1:{_free_port()}"
+    n = 2
+    env = {
+        **os.environ,
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        "JAX_PLATFORMS": "cpu",
+        "PYTHONPATH": os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, DATA_WORKER, coordinator, str(n), str(i), str(tmp_path)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env,
+        )
+        for i in range(n)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    streams = []
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        assert "WORKER_OK" in out, f"worker {i} output:\n{out}"
+        caps_line = [l for l in out.splitlines() if l.startswith("CAPS=")][0]
+        streams.append(set(c for c in caps_line[5:].split(";") if c))
+
+    assert streams[0] and streams[1]
+    assert not (streams[0] & streams[1]), "hosts read overlapping samples"
+    assert streams[0] | streams[1] == all_caps

@@ -165,3 +165,33 @@ def test_conditional_steps_cutoff_equivalence(model_and_params):
         SampleConfig(steps=3, cfg=1.0, sampling_conditional_steps=1),
     )
     np.testing.assert_array_equal(np.asarray(full), np.asarray(cut))
+
+
+def test_schedule_values_do_not_recompile(model_and_params):
+    """cfg weights / temperatures / t-span / renoise_steps are traced operands
+    (round-2 VERDICT: serve.py recompiled per distinct cfg value). Only the
+    schedule STRUCTURE (steps, cutoff, impl) may key the compile cache."""
+    from paella_tpu.sampling import sampler as S
+
+    model, params = model_and_params
+    cond = make_cond(jax.random.PRNGKey(1))
+    uncond = make_cond(jax.random.PRNGKey(2))
+
+    base = SampleConfig(steps=2, cfg=(8.0, 8.0))
+    sample(model, params, jax.random.PRNGKey(0), cond, (B, H, W), uncond, base)
+    n0 = S._sample_jit._cache_size()
+    for variant in (
+        SampleConfig(steps=2, cfg=4.0),
+        SampleConfig(steps=2, cfg=(7.0, 1.5), temperature=(1.0, 0.1)),
+        SampleConfig(steps=2, cfg=2.0, t_start=0.9, t_end=0.05),
+        SampleConfig(steps=2, cfg=2.0, renoise_steps=0),
+    ):
+        sample(model, params, jax.random.PRNGKey(0), cond, (B, H, W), uncond, variant)
+    assert S._sample_jit._cache_size() == n0
+
+    # structural change (steps) legitimately compiles a new program
+    sample(
+        model, params, jax.random.PRNGKey(0), cond, (B, H, W), uncond,
+        SampleConfig(steps=3, cfg=2.0),
+    )
+    assert S._sample_jit._cache_size() == n0 + 1

@@ -10,6 +10,16 @@ run once converted weights are on disk:
 
 With no arguments it runs the full workflow on tiny random-weight models as a
 CPU smoke test (scores are meaningless, the plumbing is real).
+
+--w8a8-proxy prints the W8A8 quantization quality-proxy table (logits KL +
+argmax token-flip rate vs the bf16 path, across noise levels t) and the
+go/no-go recommendation against the documented thresholds
+(docs/quantization.md). Without --ckpt it runs on a synthetic fuse-eligible
+model — the gate that can run TODAY; with real weights the same command is
+the first half of the act_quant default decision (real-checkpoint FID is the
+second).
+
+    python examples/eval_quality.py --w8a8-proxy
 """
 from __future__ import annotations
 
@@ -95,11 +105,65 @@ def tiny_demo():
     print("CLIP-FID (gen vs noised-gen):", round(fid_from_features(real_feats, gen_feats), 4))
 
 
+def w8a8_proxy_demo(ckpt: str | None):
+    from paella_tpu.config import PaellaConfig
+    from paella_tpu.models import Paella, init_params
+    from paella_tpu.quant import w8a8_proxy_verdict, w8a8_quality_proxy
+
+    if ckpt is not None:
+        # flagship geometry on real converted weights (run on the TPU)
+        from paella_tpu.convert import convert_paella, load_torch_state_dict
+
+        cfg = dataclasses.replace(PaellaConfig.v1_byt5_xl(), dtype="bfloat16")
+        params = jax.tree_util.tree_map(
+            jnp.asarray, convert_paella(load_torch_state_dict(ckpt), cfg)
+        )
+        latent_hw = (64, 64)
+    else:
+        # synthetic stand-in: smallest fuse-eligible geometry; CPU interpret
+        jax.config.update("jax_platforms", "cpu")
+        cfg = dataclasses.replace(
+            PaellaConfig.tiny(),
+            c_hidden=(128, 128),
+            nhead=(-1, 4),
+            blocks=(2, 3),
+            level_config=("CT", "CTA"),
+            dropout=(0.0, 0.0),
+        )
+        model = Paella(dataclasses.replace(cfg, fused_blocks=True))
+        params = init_params(model, jax.random.PRNGKey(0), latent_hw=(16, 16))
+        # zero-init head/FiLM leaves would make the comparison vacuous
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        keys = jax.random.split(jax.random.PRNGKey(1), len(leaves))
+        params = jax.tree_util.tree_unflatten(
+            treedef,
+            [
+                l + 0.02 * jax.random.normal(k, l.shape, l.dtype)
+                for l, k in zip(leaves, keys)
+            ],
+        )
+        latent_hw = (16, 16)
+
+    rows = w8a8_quality_proxy(cfg, params, jax.random.PRNGKey(2), latent_hw=latent_hw)
+    print(f"{'t':>5}  {'KL nats/tok':>12}  {'argmax flip':>12}  {'rel |dlogit|':>12}")
+    for r in rows:
+        print(f"{r['t']:5.2f}  {r['kl']:12.5f}  {r['flip']:12.3%}  {r['rel']:12.4f}")
+    ok, msg = w8a8_proxy_verdict(rows)
+    print(msg)
+    return ok
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", default=None, help="converted denoiser checkpoint")
+    ap.add_argument(
+        "--w8a8-proxy", action="store_true",
+        help="print the W8A8 quality-proxy table + recommendation",
+    )
     args, _ = ap.parse_known_args()
-    if args.ckpt is None:
+    if args.w8a8_proxy:
+        w8a8_proxy_demo(args.ckpt)
+    elif args.ckpt is None:
         tiny_demo()
     else:
         raise SystemExit(

@@ -333,6 +333,7 @@ def fused_resblock_stacked(
     tile_n2: int = 128,
     batch_grid: bool = False,
     skip: Optional[Array] = None,
+    dw_planes: Optional[tuple] = None,
     act_quant: bool = False,  # true W8A8: quantize activations in-kernel
     beta_w2: Optional[Array] = None,  # (R, C) f32 = beta @ dequant(W2); required
                                       # with act_quant (beta can't join s8 dots)
@@ -351,6 +352,12 @@ def fused_resblock_stacked(
     deinterleaved here into two planes and the kernel runs 18 shifted MACs
     against dw_kernel's two input planes. The residual stays x.
 
+    dw_planes: alternative to `skip` — the two (B, H, W, C) depthwise input
+    planes ALREADY deinterleaved (plane a = concat channels 0::2, plane b =
+    1::2). Lets a caller that keeps activations in an even/odd-split channel
+    layout replace the strided lane gather (traced at ~66 us/step at the 1B
+    up-0 geometry) with contiguous half-slices. x stays the residual.
+
     Weight-only int8 (quant.py): pass int8 fc1/fc2 kernels with their
     per-out-channel f32 scales; the kernel streams half the weight bytes and
     applies scales to the matmul outputs — x @ (Wq*s) == (x @ Wq) * s exactly.
@@ -359,7 +366,8 @@ def fused_resblock_stacked(
     hw = hh * ww
     c4 = fc1_kernel.shape[-1]
     assert c4 % tile_n1 == 0 and c % tile_n2 == 0, (c4, tile_n1, c, tile_n2)
-    cpg = 2 if skip is not None else 1
+    assert skip is None or dw_planes is None, "pass skip OR dw_planes, not both"
+    cpg = 2 if (skip is not None or dw_planes is not None) else 1
     assert dw_kernel.shape[3] == cpg, (dw_kernel.shape, cpg)
     n_t1 = c4 // tile_n1
     n_t2 = c // tile_n2
@@ -475,11 +483,14 @@ def fused_resblock_stacked(
     )
 
     if cpg == 2:
-        # NB: slicing x/skip separately before the concat was measured
-        # equivalent (the strided channel gather costs ~66 us/step either
-        # way at the 1B geometry) — keep the simpler form.
-        cc = jnp.concatenate([x, skip.astype(dtype)], axis=-1)
-        dw_operands = (cc[..., 0::2], cc[..., 1::2])
+        if dw_planes is not None:
+            dw_operands = (dw_planes[0].astype(dtype), dw_planes[1].astype(dtype))
+        else:
+            # NB: slicing x/skip separately before the concat was measured
+            # equivalent (the strided channel gather costs ~66 us/step either
+            # way at the 1B geometry) — keep the simpler form.
+            cc = jnp.concatenate([x, skip.astype(dtype)], axis=-1)
+            dw_operands = (cc[..., 0::2], cc[..., 1::2])
     else:
         dw_operands = ()
 
@@ -532,6 +543,7 @@ def fused_resblock(
     tile_n2: int = 128,
     batch_grid: bool = False,
     skip: Optional[Array] = None,
+    dw_planes: Optional[tuple] = None,
     interpret: bool = False,
 ) -> Array:
     """Single-repetition fused ResBlock(+FiLM): unstacked weights (the
@@ -564,5 +576,6 @@ def fused_resblock(
         tile_n2=tile_n2,
         batch_grid=batch_grid,
         skip=skip,
+        dw_planes=dw_planes,
         interpret=interpret,
     )

@@ -169,3 +169,42 @@ def test_int8_requires_fused_path():
             {"params": qparams}, x, jnp.ones((1,)),
             jnp.zeros((1, 4, base.byt5_embd)), jnp.zeros((1, base.clip_embd)),
         )
+
+
+def test_w8a8_quality_proxy():
+    """The in-repo W8A8 go/no-go proxy (examples/eval_quality.py --w8a8-proxy)
+    must produce finite per-t KL/flip rows and a verdict; on a near-identity
+    quantization the gate passes, and the verdict flips on bad rows."""
+    from paella_tpu.models import Paella, init_params
+    from paella_tpu.quant import (
+        fuse_eligible_levels,
+        w8a8_proxy_verdict,
+        w8a8_quality_proxy,
+    )
+    from tests._utils import perturb
+
+    base = dataclasses.replace(
+        PaellaConfig.tiny(),
+        c_hidden=(128, 128),
+        nhead=(-1, 4),
+        blocks=(2, 3),
+        level_config=("CT", "CTA"),
+        dropout=(0.0, 0.0),
+    )
+    assert fuse_eligible_levels(base) == (0, 1)
+    model = Paella(dataclasses.replace(base, fused_blocks=True))
+    params = perturb(
+        init_params(model, jax.random.PRNGKey(0), latent_hw=(16, 16)),
+        jax.random.PRNGKey(9),
+    )
+    rows = w8a8_quality_proxy(
+        base, params, jax.random.PRNGKey(1), t_values=(0.8, 0.3), latent_hw=(16, 16)
+    )
+    assert [r["t"] for r in rows] == [0.8, 0.3]
+    for r in rows:
+        assert np.isfinite(r["kl"]) and r["kl"] >= 0
+        assert 0 <= r["flip"] <= 1
+    ok, msg = w8a8_proxy_verdict(rows)
+    assert ("PASS" in msg) == ok
+    bad_ok, bad_msg = w8a8_proxy_verdict([{"t": 0.5, "kl": 1.0, "flip": 0.5}])
+    assert not bad_ok and "FAIL" in bad_msg

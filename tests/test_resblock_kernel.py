@@ -168,3 +168,45 @@ def test_fused_blocks_model_parity():
     with pltpu.force_tpu_interpret_mode():
         got_m = model_fused.apply({"params": params}, x, r, byt5, clip, **kw)
     np.testing.assert_allclose(np.asarray(got_m), np.asarray(want_m), rtol=5e-4, atol=5e-4)
+
+
+def test_fused_resblock_dw_planes_matches_skip():
+    """dw_planes= (pre-deinterleaved depthwise inputs) must be bit-equal to
+    the skip= path it replaces, including the E-layout form an even/odd-split
+    caller would use (fc2 columns + film permuted, planes as half-slices)."""
+    x, dw_k1, dw_b, w1, b1, gamma, beta, w2, b2, film = make_inputs(
+        jax.random.PRNGKey(21), b=2, hw=8, c=128
+    )
+    c = 128
+    ks = jax.random.split(jax.random.PRNGKey(22), 2)
+    skip = jax.random.normal(ks[0], x.shape) * 0.5
+    dw_k = jax.random.normal(ks[1], (3, 3, 2, c)) * 0.1
+
+    want = fused_resblock(
+        x, dw_k, dw_b, w1, b1, gamma, beta, w2, b2, film,
+        tile_n1=128, tile_n2=64, skip=skip, interpret=True,
+    )
+
+    # direct planes (same values the skip path gathers)
+    cc = jnp.concatenate([x, skip], axis=-1)
+    got = fused_resblock(
+        x, dw_k, dw_b, w1, b1, gamma, beta, w2, b2, film,
+        tile_n1=128, tile_n2=64,
+        dw_planes=(cc[..., 0::2], cc[..., 1::2]), interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # E-layout caller (scripts/ab_skip_layout.py): inputs even-then-odd split,
+    # planes from contiguous half-slices, fc2 cols/film permuted; the output
+    # must be E(want) exactly
+    E = jnp.asarray(np.concatenate([np.arange(0, c, 2), np.arange(1, c, 2)]))
+    xE, sE = x[..., E], skip[..., E]
+    h = c // 2
+    pa = jnp.concatenate([xE[..., :h], sE[..., :h]], axis=-1)
+    pb = jnp.concatenate([xE[..., h:], sE[..., h:]], axis=-1)
+    film_E = jnp.concatenate([film[:, :c][:, E], film[:, c:][:, E]], axis=1)
+    got_E = fused_resblock(
+        xE, dw_k, dw_b, w1, b1, gamma, beta, w2[:, E], b2[E], film_E,
+        tile_n1=128, tile_n2=64, dw_planes=(pa, pb), interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got_E), np.asarray(want)[..., np.asarray(E)])

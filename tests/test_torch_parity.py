@@ -309,3 +309,42 @@ def test_vqgan_encode_matches_torch():
     _, _, ours, _ = model.apply(variables, jnp.asarray(x), method=VQModel.encode)
     match = (np.asarray(ours) == theirs).mean()
     assert match > 0.99, f"index agreement only {match:.3f}"
+
+
+def test_denoiser_full_forward_matches_torch_1B():
+    """Flagship-geometry conversion rehearsal (round-2 VERDICT #1b): the FULL
+    1B layout (blocks (6,16,6), c_hidden (640,1280,1280), byt5_embd 2560 —
+    reference src_distributed/train.py:48 + src/modules.py:110-112) through
+    convert_paella, evaluated at reduced spatial dims against the
+    torch-functional interpreter. The per-rep stacking across 16 repetitions,
+    the packed-MHA split at c=1280/nhead=16, and the patch-major permutations
+    are exactly where a geometry-dependent converter bug would hide; the tiny
+    test cannot see them."""
+    cfg = dataclasses.replace(PaellaConfig.v1_byt5_xl(), dropout=(0.0, 0.0, 0.0))
+    sd = synth_paella_state_dict(cfg)
+    rng = np.random.default_rng(17)
+    for k in ("clf.1.weight", "clf.1.bias"):  # zero-init head would be vacuous
+        sd[k] = rng.standard_normal(sd[k].shape, dtype=np.float32) * 0.05
+
+    b, hh, ww = 1, 16, 16
+    x = rng.integers(0, cfg.num_labels, (b, hh, ww)).astype(np.int64)
+    r = np.array([0.4], np.float32)
+    byt5 = rng.standard_normal((b, 5, cfg.byt5_embd), dtype=np.float32)
+    clip = rng.standard_normal((b, cfg.clip_embd), dtype=np.float32)
+
+    theirs = torch_paella_forward(sd, cfg, x, r, byt5, clip)  # (B, K, H, W)
+
+    model = Paella(cfg)
+    params = jax.tree_util.tree_map(jnp.asarray, convert_paella(sd, cfg))
+    n_params = sum(int(p.size) for p in jax.tree_util.tree_leaves(params))
+    assert n_params > 900e6  # really the flagship geometry
+    ours = model.apply(
+        {"params": params},
+        jnp.asarray(x.astype(np.int32)),
+        jnp.asarray(r),
+        jnp.asarray(byt5),
+        jnp.asarray(clip),
+    )
+    ours_nchw = np.asarray(ours).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(ours_nchw, theirs, rtol=1e-2, atol=1e-2)
+    assert np.abs(theirs).max() > 1e-3

@@ -44,15 +44,26 @@ def main():
     from paella_tpu.models import Paella, init_params
     from paella_tpu.sampling import Conditioning, sample
 
-    p_cfg = PaellaConfig.v1_byt5_xl_inference()
+    # split_skip_levels: even/odd-split channel layout on the skip levels
+    # (models/layout.py) — the up-path skip blocks' depthwise planes become
+    # half-slices instead of strided lane gathers; measured +0.21 ms/forward
+    # at the flagship geometry (scripts/ab_split_e2e.py). Params must go
+    # through layout.split_skip_params (below).
+    p_cfg = dataclasses.replace(
+        PaellaConfig.v1_byt5_xl_inference(), split_skip_levels=(0, 1)
+    )
     v_cfg = dataclasses.replace(VQConfig(), dtype="bfloat16")
     model = Paella(p_cfg)
     vq = VQModel(v_cfg)
 
-    params = init_params(model, jax.random.PRNGKey(0), latent_hw=(64, 64))
+    init_cfg_model = Paella(PaellaConfig.v1_byt5_xl_inference())
+    params = init_params(init_cfg_model, jax.random.PRNGKey(0), latent_hw=(64, 64))
     # inference-time weights in bf16: halves HBM weight traffic, which dominates
     # the per-step cost once the conv paths are efficient (148 -> 140 ms measured)
     params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params)
+    from paella_tpu.models.layout import split_skip_params
+
+    params = jax.jit(lambda p: split_skip_params(p, p_cfg))(params)
     vq_vars = jax.jit(lambda kk: vq.init(kk, jnp.zeros((1, 256, 256, 3))))(
         jax.random.PRNGKey(1)
     )

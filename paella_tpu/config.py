@@ -45,6 +45,14 @@ class PaellaConfig:
     # sampler module wall; head-padding FLOPs and in-kernel relayouts outweigh
     # the dispatch savings) — kept for other geometries/hardware.
     attn_block_kernel: bool = False
+    # Keep these levels' activations in the even/odd-split channel layout
+    # (models/layout.py): their up-path skip blocks' depthwise planes become
+    # contiguous half-slices instead of strided lane gathers (measured
+    # +125 us/block at up-0 and +41 at up-1 on-chip,
+    # scripts/ab_skip_layout.py). Inference-only; requires fused_blocks=True
+    # and params transformed by layout.split_skip_params (checkpoints stay
+    # reference-ordered). Only levels i < n-1 have skip blocks.
+    split_skip_levels: Tuple[int, ...] = ()
     # True W8A8 inference for the fused ResBlock fc matmuls: s8 x s8 on the
     # MXU (measured 1.35-1.66x the bf16 fc rate at the 1B shapes) with
     # in-kernel dynamic per-row activation quantization. Requires

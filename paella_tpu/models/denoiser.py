@@ -70,16 +70,18 @@ def _can_fuse_resblock(
 
 
 def _fc_weight_itemsize(mdl, name: str, rep_key: Optional[str] = None):
-    """Bytes/elem of a block's fc1 kernel when its params already exist (apply
-    time), else None (init). Lets fuse_mode budget int8 fc weights at their
-    true tile size instead of the activation dtype's."""
+    """1 when a block's fc kernels are int8 (they stream as s8 tiles), else
+    None (float kernels are cast to the activation dtype before the kernel,
+    so the default activation-itemsize budget is already correct)."""
     if mdl.is_initializing() or not mdl.has_variable("params", name):
         return None
     p = mdl.get_variable("params", name)
     if rep_key is not None:
         p = p.get(rep_key, {})
     k1 = p.get("channelwise", {}).get("fc1", {}).get("kernel")
-    return None if k1 is None else jnp.dtype(k1.dtype).itemsize
+    if k1 is not None and k1.dtype == jnp.int8:
+        return 1
+    return None
 
 Array = jax.Array
 
@@ -359,6 +361,12 @@ class Paella(nn.Module):
         dtype = cfg.compute_dtype
         n = len(cfg.c_hidden)
         out_scale = (1.0 / sum(cfg.blocks)) ** 0.5
+        if cfg.split_skip_levels and not (cfg.fused_blocks and deterministic):
+            raise ValueError(
+                "split_skip_levels is an inference-only layout: it requires "
+                "fused_blocks=True and deterministic=True (the XLA grouped-conv "
+                "skip path reads the interleaved concat, which no longer exists)"
+            )
         if x_cat is not None:
             x = jnp.concatenate([x, x_cat], axis=1)  # reference: src/modules.py:264-265
 
@@ -432,11 +440,21 @@ class Paella(nn.Module):
                         out_init_scale=out_scale,
                         dtype=dtype,
                         act_quant=cfg.act_quant,
+                        split_planes=(
+                            i in cfg.split_skip_levels and x_skip is not None
+                        ),
                         name=name,
                     )(h, film_ab, x_skip=x_skip)
                     k += consumed
                     continue
                 if bt == "C":
+                    if i in cfg.split_skip_levels and k == 0 and skip is not None:
+                        raise ValueError(
+                            f"split_skip_levels: the level-{i} skip block failed "
+                            "the fuse gate but MUST run the fused kernel — the "
+                            "XLA grouped-conv path reads the interleaved concat, "
+                            "which the split layout no longer provides"
+                        )
                     # Same hazard guard as rest_reps: int8 kernels (quant.
                     # quantize_paella_int8 include_first=True) are codes, not
                     # weights — the XLA Dense fallback would silently cast
@@ -507,7 +525,9 @@ class Paella(nn.Module):
             bgrid = (
                 fuse_mode(
                     h.shape, h.dtype, cfg.c_hidden[i], cfg.kernel_size,
-                    weight_itemsize=jnp.dtype(cw["fc1"]["kernel"].dtype).itemsize,
+                    weight_itemsize=(
+                        1 if cw["fc1"]["kernel"].dtype == jnp.int8 else None
+                    ),
                 )
                 == "batch"
             )

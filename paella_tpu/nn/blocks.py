@@ -211,6 +211,10 @@ class FusedResBlock(nn.Module):
     out_init_scale: float = 1.0
     dtype: jnp.dtype = jnp.float32
     act_quant: bool = False
+    # x and x_skip arrive in the even/odd-SPLIT channel layout
+    # (models/layout.py): depthwise planes are contiguous half-slices, and
+    # this module's weights must be layout.split_level0_params-transformed
+    split_planes: bool = False
 
     @nn.compact
     def __call__(
@@ -231,7 +235,9 @@ class FusedResBlock(nn.Module):
         )()
         mode = fuse_mode(
             x.shape, self.dtype, self.c, kh, with_skip=cpg == 2,
-            weight_itemsize=jnp.dtype(fc1[0].dtype).itemsize,
+            # float kernels stream cast to the activation dtype; only int8
+            # really changes the tile bytes
+            weight_itemsize=1 if fc1[0].dtype == jnp.int8 else None,
         )
         assert mode is not None, (x.shape, self.c)  # callers gate on fuse_mode
         # W8A8 engages only when the tree carries quantized fc kernels
@@ -244,6 +250,19 @@ class FusedResBlock(nn.Module):
                 )
                 * fc2[2]
             )[None, :]
+        skip = None if x_skip is None else x_skip.astype(self.dtype)
+        dw_planes = None
+        if self.split_planes and skip is not None:
+            # split layout: E(v) = [v_even || v_odd], so the depthwise planes
+            # [x_even || skip_even] / [x_odd || skip_odd] are half-slice
+            # concats — no strided lane gather (models/layout.py)
+            h2 = self.c // 2
+            xe = x.astype(self.dtype)
+            dw_planes = (
+                jnp.concatenate([xe[..., :h2], skip[..., :h2]], axis=-1),
+                jnp.concatenate([xe[..., h2:], skip[..., h2:]], axis=-1),
+            )
+            skip = None
         return fused_resblock(
             x.astype(self.dtype),
             dwp[0], dwp[1],
@@ -256,7 +275,8 @@ class FusedResBlock(nn.Module):
             act_quant=act_q,
             beta_w2=beta_w2,
             batch_grid=mode == "batch",
-            skip=None if x_skip is None else x_skip.astype(self.dtype),
+            skip=skip,
+            dw_planes=dw_planes,
         )
 
 

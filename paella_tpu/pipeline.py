@@ -45,6 +45,10 @@ class PaellaPipeline:
     clip_text_fn: Optional[Callable[[Sequence[str]], Array]] = None
     clip_image_fn: Optional[Callable[[Array], Array]] = None
     byt5_max_length: int = 768
+    # jitted codec entry points, built lazily (NEVER run the codec eagerly:
+    # on a remote/tunneled TPU every eager op is a dispatch round trip —
+    # measured >1 s/request through the HTTP server before these were jitted)
+    _jit_cache: dict = dataclasses.field(default_factory=dict, init=False, repr=False)
 
     # -- conditioning ------------------------------------------------------
 
@@ -71,7 +75,12 @@ class PaellaPipeline:
         return Conditioning(byt5=byt5, byt5_mask=byt5_mask, clip=clip, clip_image=clip_image)
 
     def null_conditioning(self, batch: int) -> Conditioning:
-        return self.conditioning([""] * batch)
+        # deterministic given the frozen encoders — cache per batch size so a
+        # serving loop doesn't re-encode the empty prompt every request
+        key = ("null_cond", batch)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = self.conditioning([""] * batch)
+        return self._jit_cache[key]
 
     # -- generation --------------------------------------------------------
 
@@ -80,11 +89,33 @@ class PaellaPipeline:
         return image_hw[0] // f, image_hw[1] // f
 
     def decode(self, tokens: Array) -> Array:
-        return self.vq.apply(self.vq_vars, tokens, method=VQModel.decode_indices)
+        if "decode" not in self._jit_cache:
+            vq = self.vq
+            self._jit_cache["decode"] = jax.jit(
+                lambda v, t: vq.apply(v, t, method=VQModel.decode_indices)
+            )
+        return self._jit_cache["decode"](self.vq_vars, tokens)
+
+    def _decode_clipped(self, tokens: Array) -> Array:
+        """decode + clip-to-[0,1] as ONE program (the generation paths'
+        deliverable); keeps the eager clip dispatch off the request path."""
+        if "decode_clipped" not in self._jit_cache:
+            vq = self.vq
+            self._jit_cache["decode_clipped"] = jax.jit(
+                lambda v, t: jnp.clip(
+                    vq.apply(v, t, method=VQModel.decode_indices), 0.0, 1.0
+                )
+            )
+        return self._jit_cache["decode_clipped"](self.vq_vars, tokens)
 
     def encode_image_tokens(self, images: Array) -> Array:
         """Image -> token grid via the frozen codec encoder."""
-        return self.vq.apply(self.vq_vars, images, method=VQModel.encode)[2]
+        if "encode" not in self._jit_cache:
+            vq = self.vq
+            self._jit_cache["encode"] = jax.jit(
+                lambda v, x: vq.apply(v, x, method=VQModel.encode)[2]
+            )
+        return self._jit_cache["encode"](self.vq_vars, images)
 
     def text_to_image(
         self,
@@ -119,7 +150,7 @@ class PaellaPipeline:
             config,
             cond_reweight=cond_reweight,
         )
-        return jnp.clip(self.decode(tokens), 0.0, 1.0)
+        return self._decode_clipped(tokens)
 
     def text_to_image_best_of(
         self,
@@ -179,7 +210,7 @@ class PaellaPipeline:
             fixed_mask=keep_mask,
             fixed_tokens=tokens0,
         )
-        return jnp.clip(self.decode(out), 0.0, 1.0)
+        return self._decode_clipped(out)
 
     def outpaint(
         self,
@@ -213,7 +244,7 @@ class PaellaPipeline:
             fixed_mask=fixed_mask,
             fixed_tokens=init_x,
         )
-        return jnp.clip(self.decode(out), 0.0, 1.0)
+        return self._decode_clipped(out)
 
     def img2img(
         self,
@@ -233,7 +264,7 @@ class PaellaPipeline:
         out = sample(
             self.model, self.params, key, cond, tokens0.shape, uncond, cfg, init_x=tokens0
         )
-        return jnp.clip(self.decode(out), 0.0, 1.0)
+        return self._decode_clipped(out)
 
     def interpolate(self, image_a: Array, image_b: Array, n: int, decode: bool = True) -> Array:
         """Latent interpolation between two images (n frames incl. endpoints)."""
@@ -241,7 +272,7 @@ class PaellaPipeline:
         tb = self.encode_image_tokens(image_b[None])[0]
         codebook = self._codebook()
         frames = interpolate_latents(ta, tb, codebook, jnp.linspace(0.0, 1.0, n))
-        return jnp.clip(self.decode(frames), 0.0, 1.0) if decode else frames
+        return self._decode_clipped(frames) if decode else frames
 
     def _codebook(self) -> Array:
         vars_ = self.vq_vars

@@ -15,9 +15,14 @@ device->host image fetch and PNG encode run OUTSIDE the lock. Under
 concurrent load, request N+1's ByT5 encode and sampler are therefore queued
 on the device while request N's image is still being fetched — the device
 never idles between requests. The image crosses the tunnel/PCIe as uint8
-(a jitted postprocess), 4x fewer bytes than f32. Measured THROUGH live HTTP
-sockets (scripts/bench_serving.py --http): see the script's output; in-process
-pipelined dispatch measured 114.7 ms/request steady-state (round 2).
+(a jitted postprocess), 4x fewer bytes than f32.
+
+Measured THROUGH live HTTP sockets on one v5e (scripts/bench_serving.py
+--http, ByT5-XL encode + 8-step 1B sample + decode + PNG): 154.6 ms/request
+p50 one-at-a-time; **81.9 ms/request steady-state at concurrency 3** —
+device-bound (sampler ~75 ms on-chip + decode), the tunnel/PNG latency fully
+overlapped. A per-request cfg change costs 0 recompiles (traced schedules):
+the first cfg-changed request measured 160.2 ms.
 
     POST /generate  {"prompt": "...", "steps": 8, "seed": 1,
                      "negative_prompt": "...", "cfg": 8.0,

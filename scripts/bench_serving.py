@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--http", action="store_true", help="drive the real HTTP server")
     ap.add_argument("--concurrency", type=int, default=3)
+    ap.add_argument(
+        "--server-batch", type=int, default=1,
+        help="PaellaServer max_batch (dynamic micro-batching)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -160,7 +164,11 @@ def run_http(args, t5, t5_params, model, params, vq, vq_vars):
         ),
         byt5_max_length=64,
     )
-    srv = PaellaServer(pipe, host="127.0.0.1", port=0)
+    srv = PaellaServer(
+        pipe, host="127.0.0.1", port=0,
+        max_batch=args.server_batch,
+        batch_window_ms=25.0,
+    )
     httpd = srv.start()
     url = f"http://127.0.0.1:{httpd.server_address[1]}/generate"
     prompt = "a corgi wearing a top hat"
@@ -183,6 +191,16 @@ def run_http(args, t5, t5_params, model, params, vq, vq_vars):
     # a different cfg must NOT recompile (traced schedule); time it to prove it
     t_cfg = fire(1, cfg_w=4.0)
     print(f"cfg=4.0 second request: {t_cfg:.1f} ms (recompile would be >>10s)")
+
+    if args.server_batch > 1:
+        # warm every power-of-two batch bucket OUTSIDE the timed phase (each
+        # bucket size is its own compiled sampler/encode/decode program)
+        bsz = 2
+        while bsz <= args.server_batch:
+            print(f"warming batch bucket {bsz}...", flush=True)
+            with concurrent.futures.ThreadPoolExecutor(max_workers=bsz) as ex:
+                list(ex.map(fire, range(10_000 * bsz, 10_000 * bsz + bsz)))
+            bsz *= 2
 
     seq = np.array([fire(100 + i) for i in range(args.requests)])
     print(

@@ -23,6 +23,7 @@ def main():
     ap.add_argument("--out", default="/tmp/paella_trace")
     ap.add_argument("--attention", default="xla", choices=["xla", "pallas"])
     ap.add_argument("--fused", action="store_true", help="fused ResBlock Pallas kernel")
+    ap.add_argument("--split", action="store_true", help="even/odd-split skip layout")
     ap.add_argument("--iters", type=int, default=3)
     args = ap.parse_args()
 
@@ -42,12 +43,18 @@ def main():
         dtype="bfloat16",
         attention_impl=args.attention,
         fused_blocks=args.fused,
+        split_skip_levels=(0, 1) if args.split else (),
     )
-    model = Paella(p_cfg)
+    model = Paella(dataclasses.replace(p_cfg, split_skip_levels=()))
     params = init_params(model, jax.random.PRNGKey(0), latent_hw=(64, 64))
     # match bench.py: bf16 inference weights, otherwise every sampler call
     # re-converts the full stacked f32 weights on device (~0.9 ms x4 traced)
     params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params)
+    model = Paella(p_cfg)
+    if args.split:
+        from paella_tpu.models.layout import split_skip_params
+
+        params = jax.jit(lambda p: split_skip_params(p, p_cfg))(params)
     k = jax.random.PRNGKey(2)
     cond = Conditioning(
         byt5=jax.random.normal(k, (1, 64, p_cfg.byt5_embd), jnp.bfloat16),

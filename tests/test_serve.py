@@ -88,3 +88,67 @@ def test_bad_request(server):
         assert False, "expected 400"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+@pytest.fixture(scope="module")
+def batched_server():
+    """Same tiny pipeline behind a micro-batching server (max_batch=4)."""
+    t5_cfg = T5Config.tiny()
+    p_cfg = dataclasses.replace(PaellaConfig.tiny(), byt5_embd=t5_cfg.d_model)
+    model = Paella(p_cfg)
+    params = init_params(model, jax.random.PRNGKey(0), latent_hw=(16, 16))
+    vq = VQModel(VQConfig.tiny())
+    vq_vars = vq.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)))
+    t5 = T5Encoder(t5_cfg)
+    ids0 = jnp.zeros((1, 8), jnp.int32)
+    t5_params = t5.init(jax.random.PRNGKey(2), ids0, jnp.ones((1, 8), bool))["params"]
+    pipe = PaellaPipeline(
+        model=model,
+        params=params,
+        vq=vq,
+        vq_vars=vq_vars,
+        byt5_encode_fn=jax.jit(lambda i, m: t5.apply({"params": t5_params}, i, m)),
+    )
+    srv = PaellaServer(pipe, host="127.0.0.1", port=0, max_batch=4, batch_window_ms=200)
+    httpd = srv.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    srv.stop()
+
+
+def test_batched_generate(batched_server):
+    """Concurrent compatible requests are served through ONE batched call;
+    an incompatible one (different steps) still completes in its own batch."""
+    pytest.importorskip("PIL")
+    import concurrent.futures
+
+    def fire(seed, steps=2):
+        body = json.dumps(
+            {"prompt": f"cat {seed}", "steps": steps, "seed": seed,
+             "height": 64, "width": 64}
+        ).encode()
+        req = urllib.request.Request(
+            f"{batched_server}/generate", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            assert r.status == 200
+            return r.read()
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=5) as ex:
+        futs = [ex.submit(fire, s) for s in range(4)]
+        futs.append(ex.submit(fire, 99, 3))  # incompatible: separate batch
+        pngs = [f.result() for f in futs]
+    for png in pngs:
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    # different seeds/prompts in one batch produce different images
+    assert len({p for p in pngs[:4]}) > 1
+
+
+def test_batch_key_grouping():
+    from paella_tpu.serve import _batch_key
+
+    a = {"steps": 8, "cfg": 8.0, "height": 256, "width": 256}
+    assert _batch_key(a) == _batch_key({**a, "prompt": "x", "seed": 5})
+    assert _batch_key(a) != _batch_key({**a, "steps": 12})
+    assert _batch_key(a) != _batch_key({**a, "cfg": 4.0})
+    assert _batch_key(a) != _batch_key({**a, "width": 512})

@@ -113,14 +113,16 @@ def main():
     p50 = times[len(times) // 2]
     images_per_sec = BATCH / p50
 
-    # sampling-only p50: block on the token grid (16 KB) instead of fetching
-    # the image — excludes the codec decode AND the image fetch, whose tunnel
-    # cost swings e2e p50s by +-15 ms between runs (working notes). This is
-    # the tunnel-stable metric to compare round over round.
+    # sampling-only p50: fetch the token grid (16 KB) instead of the image —
+    # excludes the codec decode AND the 196 KB image fetch, whose tunnel cost
+    # swings e2e p50s by +-15 ms between runs (working notes). This is the
+    # tunnel-stable metric to compare round over round. (Fetch, not
+    # .block_until_ready(): the latter was observed returning early on the
+    # tunneled backend while the computation still ran.)
     s_times = []
     for i in range(12):
         t0 = time.perf_counter()
-        sample(model, params, rbg_key(100 + i), cond, LATENT, uncond, s_cfg).block_until_ready()
+        np.asarray(sample(model, params, rbg_key(100 + i), cond, LATENT, uncond, s_cfg))
         s_times.append(time.perf_counter() - t0)
     s_times.sort()
     s_p50 = s_times[len(s_times) // 2]

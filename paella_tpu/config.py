@@ -45,6 +45,14 @@ class PaellaConfig:
     # sampler module wall; head-padding FLOPs and in-kernel relayouts outweigh
     # the dispatch savings) — kept for other geometries/hardware.
     attn_block_kernel: bool = False
+    # Evaluate the scanned attention blocks' q/kv/o projections as 2D matmuls
+    # ((B*S, C) @ (C, N)) instead of batched 3D dots. Motivation: XLA's
+    # batched-dot layout assignment relayouts the (B, S, C) operands
+    # {2,1,0}->{1,2,0} per repetition (traced: ~166 us/step of copies in the
+    # level-1 scans). MEASURED SLOWER on v5e (12.20 vs 11.62 ms/forward,
+    # scripts/ab_attn2d.py): the preferred layout speeds the dots by more
+    # than the copies cost. Kept for other geometries/hardware.
+    attn_qkvo_2d: bool = False
     # Keep these levels' activations in the even/odd-split channel layout
     # (models/layout.py): their up-path skip blocks' depthwise planes become
     # contiguous half-slices instead of strided lane gathers (measured

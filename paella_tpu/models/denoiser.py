@@ -679,13 +679,28 @@ class Paella(nn.Module):
 
                     hd = c // nhead
                     s = kv_full.shape[1]
-                    q = (tokens @ w_q[idx] + b_q[idx]).reshape(b, n_pix, nhead, hd)
-                    kvp = kv_full @ w_kv[idx] + b_kv[idx]
+                    if cfg.attn_qkvo_2d:
+                        # 2D forms of the projections: avoids XLA's batched-dot
+                        # operand relayouts ({2,1,0}->{1,2,0} copies per rep)
+                        q = (
+                            tokens.reshape(b * n_pix, c) @ w_q[idx] + b_q[idx]
+                        ).reshape(b, n_pix, nhead, hd)
+                        kvp = (
+                            kv_full.reshape(b * s, c) @ w_kv[idx] + b_kv[idx]
+                        ).reshape(b, s, 2 * c)
+                    else:
+                        q = (tokens @ w_q[idx] + b_q[idx]).reshape(b, n_pix, nhead, hd)
+                        kvp = kv_full @ w_kv[idx] + b_kv[idx]
                     xk, xv = jnp.split(kvp, 2, axis=-1)
                     xk = xk.reshape(b, s, nhead, hd)
                     xv = xv.reshape(b, s, nhead, hd)
                     out = dot_product_attention(q, xk, xv, kv_mask=kv_mask, reweight=reweight)
-                    out = out.reshape(b, n_pix, c) @ w_o[idx] + b_o[idx]
+                    if cfg.attn_qkvo_2d:
+                        out = (
+                            out.reshape(b * n_pix, c) @ w_o[idx] + b_o[idx]
+                        ).reshape(b, n_pix, c)
+                    else:
+                        out = out.reshape(b, n_pix, c) @ w_o[idx] + b_o[idx]
                     return x + out.reshape(b, hh_, ww_, c).astype(x.dtype)
 
             # beta @ W2 can't join an s8 dot; precompute per repetition

@@ -139,3 +139,47 @@ def test_native_extension_builds_and_matches_pil():
 
     # garbage input -> None, not a crash
     assert decode_jpeg(b"\xff\xd8\xffgarbage") is None
+
+
+def test_parallel_decode_workers(tmp_path):
+    """num_workers>0 decodes through a thread pool but must yield the SAME
+    deterministic sample stream order as submission (worker completion order
+    must not leak), with every sample decoded correctly."""
+    pytest.importorskip("PIL")
+    shard = str(tmp_path / "shard-000.tar")
+    samples = [
+        (f"{i:05d}", {"png": png_bytes(300, 400, i), "txt": f"caption {i}".encode(), "json": GOOD_META})
+        for i in range(10)
+    ]
+    write_tar_shard(shard, samples)
+
+    def stream(workers):
+        loader = WebDatasetLoader(
+            [shard], batch_size=2, image_size=64, shuffle_buffer=1,
+            resample=False, num_workers=workers, seed=3,
+        )
+        caps, imgs = [], []
+        for images, captions in loader:
+            caps.extend(captions)
+            imgs.append(images)
+        return caps, np.concatenate(imgs)
+
+    caps0, imgs0 = stream(0)
+    caps4, imgs4 = stream(4)
+    # same captions in the same (shard) order; images valid either way
+    assert caps4 == caps0 and len(caps4) == 10
+    assert imgs4.shape == imgs0.shape == (10, 64, 64, 3)
+    assert imgs4.dtype == np.float32
+    assert 0.0 <= imgs4.min() and imgs4.max() <= 1.0
+    # repeatable with workers on
+    caps4b, imgs4b = stream(4)
+    assert caps4b == caps4
+    np.testing.assert_array_equal(imgs4b, imgs4)
+
+
+def test_no_shards_for_host_raises():
+    loader = WebDatasetLoader(
+        [], batch_size=1, shard_offset=0, shard_stride=1, resample=False
+    )
+    with pytest.raises(ValueError, match="no shards"):
+        next(iter(loader))

@@ -110,7 +110,10 @@ def run_training(
         )
         print(f"[driver] resumed at step {int(state.step)}")
 
-    step_fn = jax.jit(make_train_step(model, vq, train_cfg))
+    # donate the TrainState: params + Adam moments are the dominant HBM residents
+    # (12 GB f32 at 1B) and the old state is dead once the step returns — without
+    # donation XLA must hold both generations live across every update
+    step_fn = jax.jit(make_train_step(model, vq, train_cfg), donate_argnums=(0,))
     rng = jax.random.PRNGKey(train_cfg.seed + 1)
     bsh = batch_sharding(mesh)
     timer = StepTimer()

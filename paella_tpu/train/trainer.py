@@ -85,13 +85,32 @@ def smoothed_weighted_ce(logits: Array, labels: Array, weight: Array, smoothing:
     """CrossEntropyLoss(label_smoothing=0.1, reduction='none') with the reference's
     per-image weighted normalization (src_distributed/train.py:106-107):
     ((loss * w).sum(H,W) / w.sum(H,W)).mean() — computed without materializing the
-    (B,H,W,K) one-hot."""
-    lsm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(lsm, labels[..., None], axis=-1)[..., 0]
-    smooth = -jnp.mean(lsm, axis=-1)
-    loss = (1.0 - smoothing) * nll + smoothing * smooth
-    per_image = jnp.sum(loss * weight, axis=(1, 2)) / jnp.sum(weight, axis=(1, 2))
-    return jnp.mean(per_image)
+    (B,H,W,K) one-hot.
+
+    logsumexp form + jax.checkpoint: without the checkpoint, autodiff saves a
+    FULL f32 (B,H,W,K) log-softmax residual for the backward (2.15 GB at
+    batch-16 256^2/8192 labels, traced at 4.9 ms/step as one loop fusion).
+    Measured verdict (scripts/ab_ce_loss.py, one process, small config
+    batch-16 with per-block remat): step time 119.1 vs 119.5 ms and peak temp
+    3812 vs 3812 MB — a WASH there, because the recompute fusions cost what
+    the residual write did and the memory peak binds inside the UNet backward
+    (and at remat=False the peak is the stored block activations, so batch-16
+    no-remat still doesn't fit either way). Kept because it is never slower
+    and strictly caps the loss's own residual at O(B*H*W) instead of
+    O(B*H*W*K) — the term that scales with codebook size.
+    """
+
+    def impl(logits, labels, weight):
+        x = logits.astype(jnp.float32)
+        lse = jax.scipy.special.logsumexp(x, axis=-1)
+        # nll = -log_softmax[label] = lse - x[label]; smooth = -mean(lsm)
+        nll = lse - jnp.take_along_axis(x, labels[..., None], axis=-1)[..., 0]
+        smooth = lse - jnp.mean(x, axis=-1)
+        loss = (1.0 - smoothing) * nll + smoothing * smooth
+        per_image = jnp.sum(loss * weight, axis=(1, 2)) / jnp.sum(weight, axis=(1, 2))
+        return jnp.mean(per_image)
+
+    return jax.checkpoint(impl)(logits, labels, weight)
 
 
 def apply_cond_dropout(cfg: TrainConfig, key: Array, batch: Batch, null: NullCond):

@@ -30,6 +30,11 @@ def main():
         help="disable per-block rematerialization (stores all activations; "
         "fits at the small config on one 16 GB chip and skips the recompute)",
     )
+    ap.add_argument(
+        "--trace", default=None,
+        help="capture a jax.profiler trace of 3 steps to this dir "
+        "(analyze with scripts/trace_summary.py)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -68,7 +73,7 @@ def main():
     )
     t_cfg = TrainConfig(warmup_updates=10)
     state = create_train_state(params, t_cfg)
-    step = jax.jit(make_train_step(model, vq, t_cfg))
+    step_jit = jax.jit(make_train_step(model, vq, t_cfg), donate_argnums=(0,))
 
     b = args.batch
     k = jax.random.PRNGKey(2)
@@ -86,8 +91,30 @@ def main():
     )
     rng = jax.random.key(3, impl="rbg")
 
-    state, metrics = step(state, vq_vars, batch, null, rng)  # compile
+    # AOT compile: exposes XLA's flop count and peak-memory analysis
+    compiled = step_jit.lower(state, vq_vars, batch, null, rng).compile()
+    flops = peak_mb = None
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        flops = ca.get("flops")
+        peak_mb = compiled.memory_analysis().temp_size_in_bytes / 2**20
+    except Exception:
+        pass
+    step = compiled
+
+    state, metrics = step(state, vq_vars, batch, null, rng)  # warm
     print("loss after 1 step:", float(metrics["loss"]))
+
+    if args.trace:
+        from paella_tpu.utils import trace
+
+        with trace(args.trace) as path:
+            for _ in range(3):
+                state, metrics = step(state, vq_vars, batch, null, rng)
+            jax.block_until_ready(state.params)
+            float(metrics["loss"])  # fetch: real completion barrier
+        print(f"trace written to {path}")
 
     # steady-state pipelined throughput: enqueue N steps, one final fetch
     # (block_until_ready on the tunneled backend acks before execution, so
@@ -98,17 +125,22 @@ def main():
     loss = float(metrics["loss"])
     wall = time.perf_counter() - t0
     per_step = wall / args.iters
-    print(
-        json.dumps(
-            {
-                "metric": f"{args.config} train step, batch-{b} {args.image}^2",
-                "steady_state_step_ms": round(per_step * 1000, 2),
-                "images_per_sec_per_chip": round(b / per_step, 2),
-                "loss": round(loss, 4),
-                "device": str(jax.devices()[0]),
-            }
-        )
-    )
+    out = {
+        "metric": f"{args.config} train step, batch-{b} {args.image}^2",
+        "steady_state_step_ms": round(per_step * 1000, 2),
+        "images_per_sec_per_chip": round(b / per_step, 2),
+        "loss": round(loss, 4),
+        "device": str(jax.devices()[0]),
+    }
+    if flops:
+        # XLA's static flop count / wall. v5e bf16 peak is 197 TFLOP/s; with
+        # per-block remat the count includes the recompute, so this is
+        # hardware utilization, not model MFU.
+        out["tflops_per_sec"] = round(flops / per_step / 1e12, 1)
+        out["hw_util_pct_vs_v5e_peak"] = round(flops / per_step / 197e12 * 100, 1)
+    if peak_mb is not None:
+        out["peak_temp_mb"] = round(peak_mb, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -152,3 +152,34 @@ def test_batch_key_grouping():
     assert _batch_key(a) != _batch_key({**a, "steps": 12})
     assert _batch_key(a) != _batch_key({**a, "cfg": 4.0})
     assert _batch_key(a) != _batch_key({**a, "width": 512})
+
+
+def test_batched_error_isolation(batched_server):
+    """A failing request (bad size -> ValueError in the sampler) must get its
+    own error response without poisoning concurrently batched good requests."""
+    pytest.importorskip("PIL")
+    import concurrent.futures
+
+    def fire(seed, h=64):
+        body = json.dumps(
+            {"prompt": "ok", "steps": 2, "seed": seed, "height": h, "width": 64}
+        ).encode()
+        req = urllib.request.Request(
+            f"{batched_server}/generate", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=600) as r:
+                return r.status, r.read()[:8]
+        except urllib.error.HTTPError as e:
+            return e.code, b""
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=4) as ex:
+        good = [ex.submit(fire, s) for s in range(3)]
+        bad = ex.submit(fire, 50, 63)  # 63 not divisible by the UNet factor
+        results = [f.result() for f in good]
+        bad_status, _ = bad.result()
+
+    for status, magic in results:
+        assert status == 200 and magic == b"\x89PNG\r\n\x1a\n"
+    assert bad_status in (400, 500)

@@ -35,6 +35,13 @@ class PaellaConfig:
     self_attn: bool = True
     dtype: str = "float32"  # compute dtype; params are always float32
     remat: bool = False  # jax.checkpoint every block (training memory for FLOPs)
+    # Per-level override of `remat` for the scanned repetitions (index = UNet
+    # level, applied to both down and up passes). None -> `remat` everywhere.
+    # e.g. (True, False, False): recompute only level 0 (the largest
+    # activations) and store levels 1-2, trading a little memory for skipping
+    # their backward recompute. Purely an efficiency knob — gradients are
+    # identical either way.
+    remat_levels: Optional[Tuple[bool, ...]] = None
     attention_impl: str = "xla"  # "xla" | "pallas" (fused VMEM-resident kernel)
     # Evaluate ResBlock(+FiLM) pairs with the fused Pallas kernel at inference
     # (kernels/resblock.py). Parameter tree is identical either way; blocks
@@ -197,3 +204,9 @@ class TrainConfig:
     t_min: float = 0.001  # reference: src_distributed/train.py:99 clamp
     checkpoint_every: int = 2000
     seed: int = 0
+    # Storage dtype for BOTH Adam moments ("float32" | "bfloat16"). bfloat16
+    # halves optimizer state (8 GB -> 4 GB at 1B: the difference between the
+    # 1B step fitting one 16 GB v5e chip or not) and its HBM traffic; moment
+    # math stays f32 (see trainer._scale_by_adam). Default matches the
+    # reference's torch AdamW exactly.
+    adam_moment_dtype: str = "float32"

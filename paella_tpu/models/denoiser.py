@@ -778,7 +778,8 @@ class Paella(nn.Module):
                         "XLA Dense path. Use fused_blocks=True with a "
                         "fuse-eligible geometry, or keep these levels bf16."
                     )
-            group_cls = nn.remat(BlockGroup) if cfg.remat else BlockGroup
+            do_remat = cfg.remat if cfg.remat_levels is None else cfg.remat_levels[i]
+            group_cls = nn.remat(BlockGroup) if do_remat else BlockGroup
             scanned = nn.scan(
                 group_cls,
                 variable_axes={"params": 0},

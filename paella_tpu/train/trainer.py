@@ -70,15 +70,64 @@ class NullCond:
     clip: Array  # (1, C)
 
 
+def _scale_by_adam(
+    b1: float, b2: float, eps: float, moment_dtype=None
+) -> optax.GradientTransformation:
+    """optax.scale_by_adam with BOTH moments stored in `moment_dtype`
+    (optax's own mu_dtype knob covers only the first moment; the second is
+    the same size). Moment math runs in f32 — only the carried state is cast
+    down — so with moment_dtype=None/f32 this matches optax to float
+    round-off, and with bf16 the update error is bounded by the bf16
+    quantization of m and v, not compounded through the arithmetic."""
+
+    def init(params):
+        z = lambda p: jnp.zeros_like(p, dtype=moment_dtype or p.dtype)
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree_util.tree_map(z, params),
+            nu=jax.tree_util.tree_map(z, params),
+        )
+
+    def update(updates, state, params=None):
+        del params
+        count = optax.safe_int32_increment(state.count)
+        c1 = 1.0 - b1 ** count.astype(jnp.float32)
+        c2 = 1.0 - b2 ** count.astype(jnp.float32)
+
+        def one(g, m, v):
+            g32 = g.astype(jnp.float32)
+            m32 = b1 * m.astype(jnp.float32) + (1.0 - b1) * g32
+            v32 = b2 * v.astype(jnp.float32) + (1.0 - b2) * g32 * g32
+            u = (m32 / c1) / (jnp.sqrt(v32 / c2) + eps)
+            return u.astype(g.dtype), m32.astype(m.dtype), v32.astype(v.dtype)
+
+        flat = jax.tree_util.tree_map(one, updates, state.mu, state.nu)
+        u = jax.tree_util.tree_map(lambda t: t[0], flat, is_leaf=lambda t: isinstance(t, tuple))
+        mu = jax.tree_util.tree_map(lambda t: t[1], flat, is_leaf=lambda t: isinstance(t, tuple))
+        nu = jax.tree_util.tree_map(lambda t: t[2], flat, is_leaf=lambda t: isinstance(t, tuple))
+        return u, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     """AdamW(lr=1e-4, torch defaults incl. weight_decay=0.01 on all params) with
     linear warmup and global-norm clipping at 1.0
-    (reference: src_distributed/train.py:55-57, 116)."""
+    (reference: src_distributed/train.py:55-57, 116).
+
+    cfg.adam_moment_dtype="bfloat16" swaps in _scale_by_adam with bf16-stored
+    moments (same AdamW composition: adam scaling, then decoupled weight decay,
+    then -lr), halving optimizer state and its per-step HBM traffic."""
     schedule = optax.linear_schedule(0.0, cfg.lr, cfg.warmup_updates)
-    return optax.chain(
-        optax.clip_by_global_norm(cfg.grad_clip),
-        optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01),
-    )
+    if cfg.adam_moment_dtype == "float32":
+        adam = optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01)
+    else:
+        adam = optax.chain(
+            _scale_by_adam(0.9, 0.999, 1e-8, jnp.dtype(cfg.adam_moment_dtype)),
+            optax.add_decayed_weights(0.01),
+            optax.scale_by_learning_rate(schedule),
+        )
+    return optax.chain(optax.clip_by_global_norm(cfg.grad_clip), adam)
 
 
 def smoothed_weighted_ce(logits: Array, labels: Array, weight: Array, smoothing: float) -> Array:

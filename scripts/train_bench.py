@@ -31,6 +31,16 @@ def main():
         "fits at the small config on one 16 GB chip and skips the recompute)",
     )
     ap.add_argument(
+        "--remat-levels", default=None,
+        help="comma list of 0/1 per UNet level, e.g. 1,0,0 = recompute only "
+        "level 0 and store levels 1-2 (overrides --no-remat for the scans)",
+    )
+    ap.add_argument(
+        "--adam-moment-dtype", default="float32", choices=["float32", "bfloat16"],
+        help="storage dtype for both Adam moments (bfloat16 halves optimizer "
+        "state: lets the 1B step take batch 8+ on one 16 GB chip)",
+    )
+    ap.add_argument(
         "--trace", default=None,
         help="capture a jax.profiler trace of 3 steps to this dir "
         "(analyze with scripts/trace_summary.py)",
@@ -48,9 +58,15 @@ def main():
     from paella_tpu.models import Paella, count_params, init_params
     from paella_tpu.train import Batch, NullCond, create_train_state, make_train_step
 
+    remat_levels = (
+        tuple(bool(int(x)) for x in args.remat_levels.split(","))
+        if args.remat_levels
+        else None
+    )
     if args.config == "1b":
         p_cfg = dataclasses.replace(
-            PaellaConfig.v1_byt5_xl(), dtype="bfloat16", remat=not args.no_remat
+            PaellaConfig.v1_byt5_xl(), dtype="bfloat16", remat=not args.no_remat,
+            remat_levels=remat_levels,
         )
     else:
         # ~280M-parameter geometry: half width, half depth of the flagship
@@ -61,6 +77,7 @@ def main():
             blocks=(4, 12, 4),
             dtype="bfloat16",
             remat=not args.no_remat,
+            remat_levels=remat_levels,
         )
     vq = VQModel(dataclasses.replace(VQConfig(), dtype="bfloat16"))
 
@@ -71,7 +88,7 @@ def main():
     vq_vars = jax.jit(lambda k: vq.init(k, jnp.zeros((1, args.image, args.image, 3))))(
         jax.random.PRNGKey(1)
     )
-    t_cfg = TrainConfig(warmup_updates=10)
+    t_cfg = TrainConfig(warmup_updates=10, adam_moment_dtype=args.adam_moment_dtype)
     state = create_train_state(params, t_cfg)
     step_jit = jax.jit(make_train_step(model, vq, t_cfg), donate_argnums=(0,))
 
@@ -91,13 +108,15 @@ def main():
     )
     rng = jax.random.key(3, impl="rbg")
 
-    # AOT compile: exposes XLA's flop count and peak-memory analysis
+    # AOT compile for the peak-memory analysis; FLOPs come from the
+    # jaxpr-walking counter (XLA's cost_analysis does not descend into the
+    # scan while-bodies and undercounts this model ~5x)
+    from paella_tpu.utils.flops import count_flops
+
+    flops = count_flops(step_jit, state, vq_vars, batch, null, rng)
     compiled = step_jit.lower(state, vq_vars, batch, null, rng).compile()
-    flops = peak_mb = None
+    peak_mb = None
     try:
-        ca = compiled.cost_analysis()
-        ca = ca[0] if isinstance(ca, list) else ca
-        flops = ca.get("flops")
         peak_mb = compiled.memory_analysis().temp_size_in_bytes / 2**20
     except Exception:
         pass
@@ -133,8 +152,8 @@ def main():
         "device": str(jax.devices()[0]),
     }
     if flops:
-        # XLA's static flop count / wall. v5e bf16 peak is 197 TFLOP/s; with
-        # per-block remat the count includes the recompute, so this is
+        # jaxpr-walked matmul+conv flops / wall. v5e bf16 peak is 197 TFLOP/s;
+        # with per-block remat the count includes the recompute, so this is
         # hardware utilization, not model MFU.
         out["tflops_per_sec"] = round(flops / per_step / 1e12, 1)
         out["hw_util_pct_vs_v5e_peak"] = round(flops / per_step / 197e12 * 100, 1)

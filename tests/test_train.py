@@ -134,3 +134,118 @@ def test_cond_dropout_rates():
     assert 0.01 < byt5_drop_rate < 0.12  # ~5%
     assert 0.85 < clip_drop_rate < 0.95  # ~90%
     assert 0.85 < img_drop_rate < 0.95  # ~90%
+
+
+class TestAdamMomentDtype:
+    """make_optimizer(adam_moment_dtype=...) — the bf16-moment AdamW."""
+
+    def test_f32_matches_optax_adamw(self):
+        import optax
+
+        k = jax.random.PRNGKey(7)
+        params = {"a": jax.random.normal(k, (64, 32)),
+                  "b": {"w": jax.random.normal(jax.random.fold_in(k, 1), (128,))}}
+        cfg_ref = TrainConfig(warmup_updates=3)
+        from paella_tpu.train.trainer import _scale_by_adam
+
+        schedule = optax.linear_schedule(0.0, cfg_ref.lr, cfg_ref.warmup_updates)
+        ref_tx = optax.chain(
+            optax.clip_by_global_norm(cfg_ref.grad_clip),
+            optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01),
+        )
+        cus_tx = optax.chain(
+            optax.clip_by_global_norm(cfg_ref.grad_clip),
+            _scale_by_adam(0.9, 0.999, 1e-8, None),
+            optax.add_decayed_weights(0.01),
+            optax.scale_by_learning_rate(schedule),
+        )
+        p_ref, p_cus = params, params
+        s_ref, s_cus = ref_tx.init(params), cus_tx.init(params)
+        for i in range(5):
+            g = jax.tree_util.tree_map(
+                lambda p: jax.random.normal(jax.random.fold_in(k, 10 + i), p.shape) * 0.1,
+                params,
+            )
+            u_ref, s_ref = ref_tx.update(g, s_ref, p_ref)
+            p_ref = optax.apply_updates(p_ref, u_ref)
+            u_cus, s_cus = cus_tx.update(g, s_cus, p_cus)
+            p_cus = optax.apply_updates(p_cus, u_cus)
+        for a, b in zip(jax.tree_util.tree_leaves(p_ref), jax.tree_util.tree_leaves(p_cus)):
+            np.testing.assert_allclose(a, b, rtol=2e-6, atol=2e-7)
+
+    def test_bf16_moments_state_dtype_and_closeness(self):
+        import optax
+
+        from paella_tpu.train.trainer import make_optimizer
+
+        k = jax.random.PRNGKey(8)
+        params = {"a": jax.random.normal(k, (64, 32)),
+                  "b": {"w": jax.random.normal(jax.random.fold_in(k, 1), (128,))}}
+        tx16 = make_optimizer(TrainConfig(warmup_updates=3, adam_moment_dtype="bfloat16"))
+        tx32 = make_optimizer(TrainConfig(warmup_updates=3))
+        p16, p32 = params, params
+        s16, s32 = tx16.init(params), tx32.init(params)
+        # both moments stored bf16
+        adam_state16 = [s for s in jax.tree_util.tree_leaves_with_path(s16)]
+        mus = [l for path, l in adam_state16 if "mu" in str(path) or "nu" in str(path)]
+        assert mus and all(m.dtype == jnp.bfloat16 for m in mus)
+        for i in range(5):
+            g = jax.tree_util.tree_map(
+                lambda p: jax.random.normal(jax.random.fold_in(k, 20 + i), p.shape) * 0.1,
+                params,
+            )
+            u16, s16 = tx16.update(g, s16, p16)
+            p16 = optax.apply_updates(p16, u16)
+            u32, s32 = tx32.update(g, s32, p32)
+            p32 = optax.apply_updates(p32, u32)
+        # updates are lr-sized (warmup lr <= 1e-4); bf16 moment storage keeps
+        # params within a few bf16-ulps of lr of the f32-moment trajectory
+        for a, b in zip(jax.tree_util.tree_leaves(p16), jax.tree_util.tree_leaves(p32)):
+            np.testing.assert_allclose(a, b, rtol=0, atol=2e-5)
+
+    def test_train_step_runs_with_bf16_moments(self, setup):
+        model, params, vq, vq_vars = setup
+        cfg = TrainConfig(warmup_updates=2, adam_moment_dtype="bfloat16")
+        state = create_train_state(params, cfg)
+        step = jax.jit(make_train_step(model, vq, cfg))
+        b = 2
+        batch = make_batch(b)
+        null = NullCond(
+            byt5=jnp.zeros((1, 2, P_CFG.byt5_embd)),
+            byt5_mask=jnp.ones((1, 2), bool),
+            clip=jnp.zeros((1, P_CFG.clip_embd)),
+        )
+        state, m = step(state, vq_vars, batch, null, jax.random.key(3, impl="rbg"))
+        assert np.isfinite(float(m["loss"]))
+
+
+def test_remat_levels_same_loss_and_grads(setup):
+    """remat/remat_levels are pure efficiency knobs: identical loss + metrics."""
+    import dataclasses
+
+    model, params, vq, vq_vars = setup
+    b = 2
+    batch = make_batch(b)
+    null = NullCond(
+        byt5=jnp.zeros((1, 2, P_CFG.byt5_embd)),
+        byt5_mask=jnp.ones((1, 2), bool),
+        clip=jnp.zeros((1, P_CFG.clip_embd)),
+    )
+    cfg = TrainConfig(warmup_updates=2)
+    rng = jax.random.key(9, impl="rbg")
+    outs = {}
+    for name, p_cfg in {
+        "none": P_CFG,
+        "all": dataclasses.replace(P_CFG, remat=True),
+        "partial": dataclasses.replace(P_CFG, remat=True, remat_levels=(True, False, True)),
+    }.items():
+        m = Paella(p_cfg)
+        state = create_train_state(params, cfg)
+        step = jax.jit(make_train_step(m, vq, cfg))
+        _, metrics = step(state, vq_vars, batch, null, rng)
+        outs[name] = {k: float(v) for k, v in metrics.items()}
+    for name in ("all", "partial"):
+        assert outs[name]["loss"] == pytest.approx(outs["none"]["loss"], rel=1e-5), name
+        assert outs[name]["grad_norm"] == pytest.approx(
+            outs["none"]["grad_norm"], rel=1e-4
+        ), name

@@ -85,3 +85,39 @@ def test_eval_grid_collage(tmp_path):
     )
     assert names2 == ["sampled"]
     assert (tmp_path / "eval_0000008.jpg").exists()
+
+
+def test_checkpoint_roundtrip_bf16_moments(tmp_path):
+    """bf16 Adam moments survive an orbax save/restore with dtype intact."""
+    from paella_tpu.train import create_train_state
+    from paella_tpu.train.checkpoints import CheckpointManager
+
+    k = jax.random.PRNGKey(0)
+    params = {"w": jax.random.normal(k, (16, 8)), "b": jnp.zeros((8,))}
+    cfg = TrainConfig(warmup_updates=2, adam_moment_dtype="bfloat16")
+    state = create_train_state(params, cfg)
+    # advance once so moments are nonzero
+    g = jax.tree_util.tree_map(jnp.ones_like, params)
+    state = state.apply_gradients(g)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), save_interval=1)
+    assert mgr.save(1, state, force=True)
+    mgr.wait()
+
+    template = create_train_state(params, cfg)
+    restored, _ = mgr.restore(template)
+    assert restored is not None
+    moments = [
+        l
+        for p, l in jax.tree_util.tree_leaves_with_path(restored.opt_state)
+        if hasattr(l, "dtype") and ("mu" in str(p) or "nu" in str(p))
+    ]
+    assert moments and all(m.dtype == jnp.bfloat16 for m in moments)
+    orig = [
+        l
+        for p, l in jax.tree_util.tree_leaves_with_path(state.opt_state)
+        if hasattr(l, "dtype") and ("mu" in str(p) or "nu" in str(p))
+    ]
+    for a, b in zip(moments, orig):
+        np.testing.assert_array_equal(np.asarray(a, np.float32), np.asarray(b, np.float32))
+    assert int(restored.step) == 1

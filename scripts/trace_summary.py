@@ -56,6 +56,21 @@ def main():
     path = find_trace_json(args.trace)
     ops = load_xla_ops(path)
 
+    # Self-time: ops that execute inside a `while` body (scan iterations) are
+    # emitted BOTH as their own events and inside the while's span — a naive
+    # sum double-counts them (observed: 313 "ms/step" vs 199 ms wall on the 1B
+    # train step). Subtract each event's children so totals are wall-truthful.
+    ops.sort(key=lambda e: (e["ts"], -e.get("dur", 0)))
+    stack = []  # (end_ts, event) of currently-open enclosing spans
+    child = collections.Counter()  # name -> total time of direct children
+    for e in ops:
+        ts, dur = e["ts"], e.get("dur", 0)
+        while stack and stack[-1][0] <= ts:
+            stack.pop()
+        if stack:
+            child[stack[-1][1]["name"]] += dur
+        stack.append((ts + dur, e))
+
     agg = collections.Counter()
     cnt = collections.Counter()
     meta = {}
@@ -69,14 +84,16 @@ def main():
                 "src": a.get("source", ""),
                 "cat": a.get("hlo_category", ""),
             }
+    for name, c in child.items():
+        agg[name] -= c  # keep per-op *self* time
 
     k = args.iters
     total = sum(agg.values())
     print(f"trace: {path}")
-    print(f"total XLA-op time: {total / 1e3 / k:.2f} ms/iter over {len(ops)} events "
+    print(f"total XLA-op SELF time: {total / 1e3 / k:.2f} ms/iter over {len(ops)} events "
           f"({k} iter{'s' if k != 1 else ''})\n")
 
-    print(f"{'op':<46} {'us/iter':>9} {'n/iter':>7} {'us/ea':>8}  category")
+    print(f"{'op':<46} {'us/iter':>9} {'n/iter':>7} {'us/ea':>8}  category  (self time)")
     for name, d in agg.most_common(args.top):
         print(
             f"{name[:46]:<46} {d / k:>9.0f} {cnt[name] / k:>7.1f} "

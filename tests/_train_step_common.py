@@ -1,0 +1,82 @@
+"""Shared case builder for the cross-process train-step test: the SAME global
+computation (tiny Paella + frozen codec, dp x fsdp mesh, one real train step)
+built identically by the 2-process workers and the single-process reference,
+so the losses are directly comparable (GSPMD semantics are topology-free).
+
+Everything device-resident is created INSIDE one jit from constants: in a
+multi-controller run, host-local committed arrays cannot be fed to a global-
+mesh jit, and building params/state on-device also mirrors how a real pod job
+avoids materializing the full model per host.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def build_case(n_devices: int):
+    """Returns (mesh, run(batch) -> (loss, step), batch_np)."""
+    from paella_tpu.codec import VQModel
+    from paella_tpu.config import PaellaConfig, TrainConfig, VQConfig
+    from paella_tpu.models import Paella
+    from paella_tpu.parallel import make_mesh, param_shardings
+    from paella_tpu.train import Batch, NullCond, create_train_state, make_train_step
+
+    fsdp = 2 if (n_devices % 2 == 0 and n_devices >= 4) else 1
+    mesh = make_mesh(fsdp=fsdp, devices=jax.devices()[:n_devices])
+
+    p_cfg = PaellaConfig.tiny()
+    v_cfg = VQConfig.tiny()
+    model, vq = Paella(p_cfg), VQModel(v_cfg)
+    t_cfg = TrainConfig(warmup_updates=1)
+    img, b = 32, n_devices
+
+    # IDENTICAL examples: the global batch is order-invariant, so the loss is
+    # insensitive to how processes map local rows to global positions
+    g = np.random.default_rng(0)
+    one_img = g.uniform(size=(1, img, img, 3)).astype(np.float32)
+    one_byt5 = g.standard_normal((1, 4, p_cfg.byt5_embd)).astype(np.float32)
+    one_clip = g.standard_normal((1, p_cfg.clip_embd)).astype(np.float32)
+    batch_np = Batch(
+        images=np.repeat(one_img, b, 0),
+        byt5=np.repeat(one_byt5, b, 0),
+        byt5_mask=np.ones((b, 4), bool),
+        clip=np.repeat(one_clip, b, 0),
+        clip_image=np.repeat(one_clip, b, 0),
+    )
+
+    def _init(k):
+        x = jnp.zeros((1, img // 4, img // 4), jnp.int32)
+        r = jnp.ones((1,), jnp.float32)
+        byt5 = jnp.zeros((1, 4, p_cfg.byt5_embd), jnp.float32)
+        clip = jnp.zeros((1, p_cfg.clip_embd), jnp.float32)
+        return model.init(k, x, r, byt5, clip, clip, deterministic=True)["params"]
+
+    shardings = param_shardings(
+        jax.eval_shape(_init, jax.random.PRNGKey(0)), mesh, min_size=2**10
+    )
+    step_fn = make_train_step(model, vq, t_cfg)
+
+    def run(batch):
+        @jax.jit
+        def fn(batch):
+            params = _init(jax.random.PRNGKey(0))
+            params = jax.tree_util.tree_map(
+                jax.lax.with_sharding_constraint, params, shardings
+            )
+            state = create_train_state(params, t_cfg)
+            vq_vars = vq.init(jax.random.PRNGKey(1), jnp.zeros((1, img, img, 3)))
+            null = NullCond(
+                byt5=jnp.zeros((1, 2, p_cfg.byt5_embd)),
+                byt5_mask=jnp.ones((1, 2), bool),
+                clip=jnp.zeros((1, p_cfg.clip_embd)),
+            )
+            new_state, metrics = step_fn(state, vq_vars, batch, null, jax.random.PRNGKey(3))
+            return metrics["loss"], new_state.step
+
+        loss, step = fn(batch)
+        return float(loss), int(step)
+
+    return mesh, run, batch_np

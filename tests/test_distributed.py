@@ -8,6 +8,7 @@ import socket
 import subprocess
 import sys
 
+import numpy as np
 import pytest
 
 WORKER = os.path.join(os.path.dirname(__file__), "_distributed_worker.py")
@@ -114,3 +115,63 @@ def test_two_process_disjoint_data_streams(tmp_path):
     assert streams[0] and streams[1]
     assert not (streams[0] & streams[1]), "hosts read overlapping samples"
     assert streams[0] | streams[1] == all_caps
+
+
+TRAIN_WORKER = os.path.join(os.path.dirname(__file__), "_train_step_worker.py")
+
+
+def test_two_process_train_step_matches_single_process():
+    """The REAL pjit train step over a GLOBAL dp x fsdp mesh spanning two OS
+    processes (GSPMD gradient collectives over gloo — the pod execution model)
+    produces the SAME loss on both processes AND the same loss as a
+    single-process run of the identical global computation: GSPMD semantics
+    are topology-independent, so any mismatch is a real multi-host bug."""
+    coordinator = f"127.0.0.1:{_free_port()}"
+    n = 2
+    env = {
+        **os.environ,
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        "JAX_PLATFORMS": "cpu",
+        "PYTHONPATH": os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, TRAIN_WORKER, coordinator, str(n), str(i)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env,
+        )
+        for i in range(n)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    losses = []
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        line = [l for l in out.splitlines() if l.startswith("WORKER_LOSS")][0]
+        losses.append(float(line.split("loss=")[1]))
+    assert losses[0] == losses[1], losses
+
+    # single-process reference on this test's own virtual devices
+    import jax
+
+    from paella_tpu.parallel import batch_sharding
+    from tests._train_step_common import build_case
+
+    mesh, run, batch_np = build_case(4)
+    batch = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, batch_sharding(mesh)), batch_np
+    )
+    with mesh:
+        ref_loss, step = run(batch)
+    assert step == 1
+    np.testing.assert_allclose(losses[0], ref_loss, rtol=0, atol=2e-5)

@@ -53,14 +53,33 @@ def load_vqgan(path: str, cfg: VQConfig = VQConfig()) -> Tuple[VQModel, dict]:
     return VQModel(cfg), variables
 
 
-def load_byt5(path: str, cfg: T5Config) -> Callable[[Array, Array], Array]:
-    """Converted HF ByT5 torch checkpoint -> jit'd (ids, mask) -> states."""
+def load_byt5(
+    path: str, cfg: T5Config, int8_weights: bool = False
+) -> Callable[[Array, Array], Array]:
+    """Converted HF ByT5 torch checkpoint -> jit'd (ids, mask) -> states.
+
+    int8_weights=True stores the block linears as per-channel int8
+    (quant.quantize_t5_int8), halving the encoder's HBM residency
+    (5.2 -> 2.6 GB) at <=0.5% relative output error. It is a MEMORY lever,
+    not a speed one: measured SLOWER per encode on v5e (the XLA-path dequant
+    is VPU-bound; scripts/bench_byt5.py A/B) — use only when co-residency
+    with other models is HBM-tight.
+    """
     from ..convert.torch_import import load_torch_state_dict
 
     sd = load_torch_state_dict(path, key=None)
     params = jax.tree_util.tree_map(jnp.asarray, convert_t5_encoder(sd, cfg))
+    if int8_weights:
+        from ..quant import quantize_t5_int8
+
+        params = jax.jit(quantize_t5_int8)(params)
     model = T5Encoder(cfg)
 
+    # Closure over params, deliberately: it dispatches ~7 ms/call faster than
+    # passing the 519-leaf tree as jit arguments (measured on the tunneled
+    # backend; serving loads once and encodes per-request). The tradeoff is a
+    # slow FIRST compile on remote backends (captured 5.2 GB constants); use
+    # the params-as-argument form for throwaway weights (scripts/bench_byt5.py).
     @jax.jit
     def encode(ids: Array, mask: Array) -> Array:
         return model.apply({"params": params}, ids, mask)
@@ -100,6 +119,8 @@ def load_open_clip(
             )
         tokenizer = CLIPTokenizer(bpe_path)
 
+    # Closures over params (see load_byt5: faster per-request dispatch; slow
+    # first compile on remote backends is paid once at load)
     @jax.jit
     def _encode_text_ids(ids: Array) -> Array:
         return text_model.apply({"params": text_params}, ids)
@@ -126,6 +147,7 @@ def load_conditional_models(
     clip_text_cfg: Optional[CLIPTextConfig] = None,
     clip_vision_cfg: Optional[CLIPVisionConfig] = None,
     vq_cfg: VQConfig = VQConfig(),
+    byt5_int8: bool = False,
 ) -> ConditionalModels:
     """One-call loader mirroring reference load_conditional_models
     (src_distributed/utils.py:65-82): frozen VQGAN (+ optionally ByT5 + CLIP).
@@ -137,7 +159,9 @@ def load_conditional_models(
     vq, vq_vars = load_vqgan(vqgan_path, vq_cfg)
     byt5_encode = None
     if byt5_path is not None:
-        byt5_encode = load_byt5(byt5_path, byt5_cfg or T5Config.byt5_xl())
+        byt5_encode = load_byt5(
+            byt5_path, byt5_cfg or T5Config.byt5_xl(), int8_weights=byt5_int8
+        )
     clip_text = clip_image = None
     if clip_path is not None:
         clip_text, clip_image = load_open_clip(

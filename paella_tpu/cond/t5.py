@@ -80,6 +80,34 @@ def relative_position_bucket(
     return ret + jnp.where(is_small, n, val_if_large)
 
 
+class _T5Dense(nn.Module):
+    """nn.Dense(use_bias=False) with optional int8 weight-only quantization.
+
+    Param tree is identical to nn.Dense ({'kernel'}); if the supplied tree was
+    transformed by `quant.quantize_t5_int8` (int8 kernel + a 'kernel_scale'
+    sibling, never created at init), the kernel is dequantized per output
+    channel before the matmul. int8 halves the encoder's HBM residency
+    (5.2 -> 2.6 GB for XL) but measured SLOWER per encode on v5e — the
+    XLA-path dequant is VPU-bound (scripts/bench_byt5.py A/B) — so it is a
+    memory lever, off by default.
+    """
+
+    features: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features)
+        )
+        if self.has_variable("params", "kernel_scale"):
+            scale = self.get_variable("params", "kernel_scale")
+            kernel = (kernel.astype(jnp.float32) * scale[None, :]).astype(self.dtype)
+        else:
+            kernel = kernel.astype(self.dtype)
+        return jnp.dot(x.astype(self.dtype), kernel)
+
+
 class T5Attention(nn.Module):
     cfg: T5Config
 
@@ -87,7 +115,7 @@ class T5Attention(nn.Module):
     def __call__(self, x: Array, mask: Optional[Array], position_bias: Array) -> Array:
         cfg = self.cfg
         inner = cfg.num_heads * cfg.d_kv
-        dense = lambda name: nn.Dense(inner, use_bias=False, dtype=cfg.compute_dtype, name=name)
+        dense = lambda name: _T5Dense(inner, cfg.compute_dtype, name=name)
         b, s, _ = x.shape
         q = dense("q")(x).reshape(b, s, cfg.num_heads, cfg.d_kv)
         k = dense("k")(x).reshape(b, s, cfg.num_heads, cfg.d_kv)
@@ -99,7 +127,7 @@ class T5Attention(nn.Module):
             scores = jnp.where(mask[:, None, None, :], scores, -1e9)
         probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhns,bshd->bnhd", probs, v).reshape(b, s, inner)
-        return nn.Dense(cfg.d_model, use_bias=False, dtype=cfg.compute_dtype, name="o")(out)
+        return _T5Dense(cfg.d_model, cfg.compute_dtype, name="o")(out)
 
 
 class T5Block(nn.Module):
@@ -114,11 +142,11 @@ class T5Block(nn.Module):
 
         ln_f = self.param("ff_norm", nn.initializers.ones, (cfg.d_model,))
         h = rms_norm(x, ln_f, cfg.layer_norm_epsilon)
-        wi0 = nn.Dense(cfg.d_ff, use_bias=False, dtype=cfg.compute_dtype, name="wi_0")(h)
-        wi1 = nn.Dense(cfg.d_ff, use_bias=False, dtype=cfg.compute_dtype, name="wi_1")(h)
+        wi0 = _T5Dense(cfg.d_ff, cfg.compute_dtype, name="wi_0")(h)
+        wi1 = _T5Dense(cfg.d_ff, cfg.compute_dtype, name="wi_1")(h)
         # T5 v1.1 'gelu_new' = tanh-approximated GELU
         h = jax.nn.gelu(wi0, approximate=True) * wi1
-        x = x + nn.Dense(cfg.d_model, use_bias=False, dtype=cfg.compute_dtype, name="wo")(h)
+        x = x + _T5Dense(cfg.d_model, cfg.compute_dtype, name="wo")(h)
         return x
 
 

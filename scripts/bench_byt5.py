@@ -50,25 +50,40 @@ def main():
     params = make_params()
     print(f"byt5-xl encoder: {n_params/1e9:.2f}B params (bf16 on-device: {n_params*2/1e9:.1f} GB)")
 
-    @jax.jit
-    def encode(ids, mask):
-        return model.apply({"params": params}, ids, mask)
+    from paella_tpu.quant import quantize_t5_int8
 
-    results = {}
+    qparams = jax.jit(quantize_t5_int8)(params)
+
+    # params as an ARGUMENT: closing over them captures 5.2 GB of lowering
+    # constants — ~480 s PER compile on the tunneled backend (>25 min for this
+    # sweep). The production loader (cond/loader.py) keeps the closure form:
+    # it dispatches ~7 ms/call faster (519 fewer arg handles to marshal) and
+    # pays the compile once at load. Numbers here are ~7 ms/call conservative.
+    @jax.jit
+    def encode(p, ids, mask):
+        return model.apply({"params": p}, ids, mask)
+
+    # A/B in ONE process (tunnel p50s drift between runs; working notes)
+    results, results_q = {}, {}
     for length in (64, 128, 256, 768):
         ids = jnp.ones((1, length), jnp.int32)
         mask = jnp.ones((1, length), bool)
-        np.asarray(encode(ids, mask))  # compile
-        times = []
-        for _ in range(8):
-            t0 = time.perf_counter()
-            np.asarray(encode(ids, mask))
-            times.append(time.perf_counter() - t0)
-        times.sort()
-        results[length] = round(times[len(times) // 2] * 1000, 2)
-        print(f"  bucket {length:4d} bytes: p50 {results[length]:7.2f} ms")
+        for p, out in ((params, results), (qparams, results_q)):
+            np.asarray(encode(p, ids, mask))  # compile
+            times = []
+            for _ in range(8):
+                t0 = time.perf_counter()
+                np.asarray(encode(p, ids, mask))
+                times.append(time.perf_counter() - t0)
+            times.sort()
+            out[length] = round(times[len(times) // 2] * 1000, 2)
+        print(
+            f"  bucket {length:4d} bytes: p50 {results[length]:7.2f} ms bf16"
+            f" | {results_q[length]:7.2f} ms int8 weight-only"
+        )
 
-    print(json.dumps({"metric": "byt5-xl encode p50 by bucket (ms)", "value": results}))
+    print(json.dumps({"metric": "byt5-xl encode p50 by bucket (ms)", "value": results,
+                      "int8_weight_only": results_q}))
 
 
 if __name__ == "__main__":

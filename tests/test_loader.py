@@ -194,3 +194,20 @@ def test_load_conditional_models_custom_tokenizer(checkpoints):
     )
     tf = models.clip_text_encode(["whatever"])
     assert tf.shape == (1, c["tcfg"].embed_dim)
+
+
+def test_load_byt5_int8_close_to_float(checkpoints):
+    """byt5_int8=True loads the same checkpoint with int8 block linears and
+    stays close to the float encode (weight-only: per-channel rounding only)."""
+    from paella_tpu.cond import byt5_batch_encode
+    from paella_tpu.cond.loader import load_byt5
+
+    c = checkpoints
+    enc = load_byt5(c["byt5"], c["byt5_cfg"])
+    enc_q = load_byt5(c["byt5"], c["byt5_cfg"], int8_weights=True)
+    ids, mask = byt5_batch_encode(["a red cat", "blue"])
+    ref = np.asarray(enc(jnp.asarray(ids), jnp.asarray(mask)), np.float64)
+    got = np.asarray(enc_q(jnp.asarray(ids), jnp.asarray(mask)), np.float64)
+    assert got.shape == ref.shape and np.isfinite(got).all()
+    rel = np.abs(got - ref).mean() / np.abs(ref).mean()
+    assert rel < 0.05, rel

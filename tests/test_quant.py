@@ -208,3 +208,38 @@ def test_w8a8_quality_proxy():
     assert ("PASS" in msg) == ok
     bad_ok, bad_msg = w8a8_proxy_verdict([{"t": 0.5, "kl": 1.0, "flip": 0.5}])
     assert not bad_ok and "FAIL" in bad_msg
+
+
+def test_t5_int8_weight_only_close_to_float():
+    """quantize_t5_int8 trees run through the SAME T5Encoder module (param
+    paths unchanged, 'kernel_scale' siblings picked up by _T5Dense) and stay
+    within per-channel-rounding distance of the float forward."""
+    from paella_tpu.cond import T5Config, T5Encoder
+    from paella_tpu.quant import quantize_t5_int8
+
+    cfg = T5Config.tiny()
+    enc = T5Encoder(cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 7), 0, cfg.vocab_size)
+    mask = jnp.array([[1, 1, 1, 1, 1, 0, 0], [1, 1, 1, 0, 0, 0, 0]], bool)
+    params = enc.init(jax.random.PRNGKey(0), ids, mask)["params"]
+
+    ref = enc.apply({"params": params}, ids, mask)
+    qparams = quantize_t5_int8(params)
+    # only block linears quantized; embedding/norms/relative bias untouched
+    assert qparams["block_0"]["attention"]["q"]["kernel"].dtype == jnp.int8
+    assert qparams["block_0"]["attention"]["q"]["kernel_scale"].shape == (
+        cfg.num_heads * cfg.d_kv,
+    )
+    assert qparams["block_1"]["wi_0"]["kernel"].dtype == jnp.int8
+    assert qparams["token_embedding"].dtype == params["token_embedding"].dtype
+    assert "kernel_scale" not in jax.tree_util.tree_leaves(qparams["block_0"]["attn_norm"])
+
+    got = enc.apply({"params": qparams}, ids, mask)
+    assert got.shape == ref.shape
+    rel = np.abs(np.asarray(got - ref)).mean() / np.abs(np.asarray(ref)).mean()
+    assert rel < 0.05, rel
+    # cosine similarity per token stays high
+    a = np.asarray(ref, np.float64).reshape(-1, cfg.d_model)
+    b = np.asarray(got, np.float64).reshape(-1, cfg.d_model)
+    cos = (a * b).sum(-1) / (np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1))
+    assert cos.min() > 0.995, cos.min()

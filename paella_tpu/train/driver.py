@@ -46,6 +46,47 @@ class DriverConfig:
     eval_steps: int = 8
     fsdp: int = 1
     max_keep: int = 3
+    # save a final checkpoint and return cleanly on SIGTERM/SIGINT — the
+    # preemption contract of managed TPU pools (the reference loses up to
+    # print_every=2000 steps of work on preemption; here at most one step)
+    graceful_preemption: bool = True
+
+
+class _PreemptionGuard:
+    """Converts SIGTERM/SIGINT into a cooperative stop flag for the training
+    loop. Managed TPU pools deliver SIGTERM with a grace window before
+    killing the host; the loop checks `stop_requested` each iteration, saves
+    a final checkpoint, and returns. Restores prior handlers on exit; a
+    second signal therefore kills the process the normal way. No-ops when
+    not on the main thread (signal.signal raises there)."""
+
+    def __init__(self, enabled: bool = True):
+        self.enabled = enabled
+        self.stop_requested = False
+        self._prev = {}
+
+    def __enter__(self):
+        if not self.enabled:
+            return self
+        import signal
+
+        def handler(signum, frame):
+            self.stop_requested = True
+            print(f"[driver] caught signal {signum}: finishing step, saving, exiting")
+
+        try:
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                self._prev[sig] = signal.signal(sig, handler)
+        except ValueError:  # not the main thread
+            self._prev = {}
+        return self
+
+    def __exit__(self, *exc):
+        import signal
+
+        for sig, prev in self._prev.items():
+            signal.signal(sig, prev)
+        return False
 
 
 def run_training(
@@ -119,7 +160,7 @@ def run_training(
     timer = StepTimer()
 
     start = int(state.step)
-    with mesh:
+    with mesh, _PreemptionGuard(driver_cfg.graceful_preemption) as guard:
         n_data = mesh.shape["dp"] * mesh.shape["fsdp"]
         for it in range(start, driver_cfg.total_steps):
             images, captions = next(data_iter)
@@ -139,6 +180,11 @@ def run_training(
                 metrics["steps_per_sec"] = timer.steps_per_sec
                 metrics["images_per_sec"] = timer.steps_per_sec * images.shape[0]
                 logger.log(step, metrics)
+
+            if guard.stop_requested:
+                ckpt.save(step, state, force=True)
+                print(f"[driver] preemption checkpoint saved at step {step}")
+                break
 
             if step % driver_cfg.eval_every == 0 or step == driver_cfg.total_steps:
                 ckpt.save(step, state)

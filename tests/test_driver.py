@@ -121,3 +121,43 @@ def test_checkpoint_roundtrip_bf16_moments(tmp_path):
     for a, b in zip(moments, orig):
         np.testing.assert_array_equal(np.asarray(a, np.float32), np.asarray(b, np.float32))
     assert int(restored.step) == 1
+
+
+def test_graceful_preemption_saves_and_resumes(tmp_path):
+    """SIGTERM mid-run (the managed-pool preemption contract): the loop
+    finishes the in-flight step, force-saves a checkpoint, and returns; a
+    fresh run resumes from the preemption step, not from the last periodic
+    checkpoint (the reference loses up to print_every=2000 steps)."""
+    import os as _os
+    import signal
+
+    model = Paella(P_CFG)
+    vq = VQModel(V_CFG)
+    vq_vars = vq.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    encode, null = make_synthetic_encode_fn(P_CFG.byt5_embd, P_CFG.clip_embd, seq_len=8)
+    t_cfg = TrainConfig(warmup_updates=2, checkpoint_every=1)
+    d_cfg = DriverConfig(
+        workdir=str(tmp_path / "run"), total_steps=10, log_every=100, eval_every=100
+    )
+
+    def preempting_data():
+        src = iter(SyntheticDataset(batch_size=8, image_size=64))
+        for i, b in enumerate(src):
+            if i == 2:  # deliver mid-run, after two clean steps
+                _os.kill(_os.getpid(), signal.SIGTERM)
+            yield b
+
+    state = run_training(
+        model, vq, vq_vars, preempting_data(), encode, null, t_cfg, d_cfg,
+        sample_eval=False,
+    )
+    stopped_at = int(state.step)
+    assert 0 < stopped_at < 10  # returned early, after a whole step
+    # the preemption checkpoint exists and resume continues from it
+    data2 = iter(SyntheticDataset(batch_size=8, image_size=64))
+    state2 = run_training(
+        model, vq, vq_vars, data2, encode, null, t_cfg, d_cfg, sample_eval=False
+    )
+    assert int(state2.step) == 10
+    # handlers were restored
+    assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL

@@ -11,6 +11,7 @@ from paella_tpu.codec import VQModel
 from paella_tpu.cond import T5Config, T5Encoder
 from paella_tpu.models import Paella, init_params
 from paella_tpu.pipeline import PaellaPipeline
+from paella_tpu.sampling import sample
 
 S_CFG = SampleConfig(steps=2)
 
@@ -132,3 +133,68 @@ def test_negative_prompts(pipe):
         ["a corgi"], jax.random.PRNGKey(7), (64, 64), S_CFG, negative_prompts=["blurry"]
     )
     assert img.shape == (1, 64, 64, 3)
+
+
+def test_optimize_layout_noop_on_tiny(pipe):
+    # tiny geometry is not fuse-eligible -> identity (and no config mutation)
+    assert pipe.optimize_layout() is pipe
+
+
+def test_optimize_layout_bit_exact():
+    """pipeline.optimize_layout applies the split-skip layout atomically
+    (config flag + transformed params) and generation is BIT-exact."""
+    from tests._utils import perturb
+
+    p_cfg = dataclasses.replace(
+        PaellaConfig.tiny(),
+        c_hidden=(128, 128),
+        nhead=(-1, 4),
+        blocks=(2, 2),
+        level_config=("CT", "CTA"),
+        dropout=(0.0, 0.0),
+        fused_blocks=True,
+    )
+    model = Paella(p_cfg)
+    params = perturb(
+        init_params(model, jax.random.PRNGKey(0), latent_hw=(16, 16)),
+        jax.random.PRNGKey(7),
+    )
+    vq = VQModel(VQConfig.tiny())
+    vq_vars = vq.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)))
+
+    def byt5_fn(ids, mask):
+        k = jax.random.PRNGKey(3)
+        return jax.random.normal(k, (*ids.shape, p_cfg.byt5_embd)) * 0.1
+
+    base = PaellaPipeline(
+        model=model, params=params, vq=vq, vq_vars=vq_vars, byt5_encode_fn=byt5_fn
+    )
+    opt = base.optimize_layout()
+    assert opt is not base
+    assert opt.model.config.split_skip_levels == (0,)
+    # idempotent: a second call is the identity
+    assert opt.optimize_layout() is opt
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    cond = base.conditioning(["a corgi"])
+    uncond = base.conditioning([""])
+    k = jax.random.PRNGKey(5)
+    s = SampleConfig(steps=3)
+    with pltpu.force_tpu_interpret_mode():  # fused kernels on the CPU backend
+        x = jax.random.randint(jax.random.PRNGKey(9), (1, 16, 16), 0, p_cfg.num_labels)
+        r = jnp.array([0.5])
+        want = base.model.apply(
+            {"params": base.params}, x, r, cond.byt5, cond.clip, byt5_mask=cond.byt5_mask
+        )
+        got = opt.model.apply(
+            {"params": opt.params}, x, r, cond.byt5, cond.clip, byt5_mask=cond.byt5_mask
+        )
+        t_base = sample(base.model, base.params, k, cond, (1, 16, 16), uncond, s)
+        t_opt = sample(opt.model, opt.params, k, cond, (1, 16, 16), uncond, s)
+    # identical math up to dot summation order (f32 interpret mode)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32), rtol=1e-4, atol=1e-4
+    )
+    mismatch = (np.asarray(t_base) != np.asarray(t_opt)).mean()
+    assert mismatch <= 0.02, mismatch

@@ -210,3 +210,9 @@ class TrainConfig:
     # math stays f32 (see trainer._scale_by_adam). Default matches the
     # reference's torch AdamW exactly.
     adam_moment_dtype: str = "float32"
+    # Skip optimizer updates when any gradient is non-finite (params and
+    # moments untouched that step; metrics report the running skip count).
+    # Reference-parity: its fp16 AMP GradScaler skips inf/nan steps
+    # (src_distributed/train.py AMP stack); bf16 overflows are rarer but the
+    # same guard keeps one bad batch from destroying a 1.5M-step run.
+    skip_nonfinite_updates: bool = True

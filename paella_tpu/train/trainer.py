@@ -127,7 +127,14 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
             optax.add_decayed_weights(0.01),
             optax.scale_by_learning_rate(schedule),
         )
-    return optax.chain(optax.clip_by_global_norm(cfg.grad_clip), adam)
+    tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), adam)
+    if cfg.skip_nonfinite_updates:
+        # GradScaler-equivalent protection (the reference's AMP skips inf/nan
+        # steps): non-finite grads leave params AND optimizer state untouched.
+        # After 100 consecutive bad steps updates flow again so a systemic
+        # divergence surfaces in the loss instead of silently stalling.
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
+    return tx
 
 
 def smoothed_weighted_ce(logits: Array, labels: Array, weight: Array, smoothing: float) -> Array:
@@ -262,6 +269,8 @@ def make_train_step(model, vq_model, cfg: TrainConfig):
         grad_norm = optax.global_norm(grads)
         state = state.apply_gradients(grads)
         metrics = {"loss": loss, "acc": aux["acc"], "grad_norm": grad_norm}
+        if cfg.skip_nonfinite_updates:
+            metrics["nonfinite_skips"] = state.opt_state.total_notfinite
         return state, metrics
 
     return train_step

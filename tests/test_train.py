@@ -249,3 +249,45 @@ def test_remat_levels_same_loss_and_grads(setup):
         assert outs[name]["grad_norm"] == pytest.approx(
             outs["none"]["grad_norm"], rel=1e-4
         ), name
+
+
+def test_nonfinite_grads_skip_update(setup):
+    """GradScaler-parity guard: a batch producing non-finite gradients leaves
+    params AND optimizer moments untouched (metrics count the skip); the next
+    clean batch updates normally."""
+    model, params, vq, vq_vars = setup
+    cfg = TrainConfig(warmup_updates=1)
+    state = create_train_state(params, cfg)
+    step = jax.jit(make_train_step(model, vq, cfg))
+    rng = jax.random.PRNGKey(3)
+    null = make_null()
+
+    # poison the CONDITIONING, not the image: image NaNs are laundered by the
+    # discrete VQ bottleneck (argmin over NaN distances is a valid token)
+    bad = make_batch(2)
+    bad = Batch(
+        images=bad.images,
+        byt5=bad.byt5.at[0, 0, 0].set(jnp.nan),
+        byt5_mask=bad.byt5_mask, clip=bad.clip, clip_image=bad.clip_image,
+    )
+    s1, m1 = step(state, vq_vars, bad, null, rng)
+    assert int(m1["nonfinite_skips"]) == 1
+    assert not np.isfinite(float(m1["loss"]))
+    for a, b in zip(jax.tree_util.tree_leaves(state.params), jax.tree_util.tree_leaves(s1.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    s2, m2 = step(s1, vq_vars, make_batch(2), null, rng)
+    assert int(m2["nonfinite_skips"]) == 1  # no new skips
+    assert np.isfinite(float(m2["loss"]))
+    # the skipped step did NOT advance the inner Adam count, so with
+    # warmup_updates=1 the first clean update runs at lr=0 — take a second
+    # clean step to see a real parameter change
+    s3, m3 = step(s2, vq_vars, make_batch(2), null, rng)
+    assert int(m3["nonfinite_skips"]) == 1
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(s2.params), jax.tree_util.tree_leaves(s3.params)
+        )
+    )
+    assert changed

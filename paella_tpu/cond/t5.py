@@ -101,8 +101,10 @@ class _T5Dense(nn.Module):
             "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features)
         )
         if self.has_variable("params", "kernel_scale"):
+            from ..quant import dequantize_dense_int8
+
             scale = self.get_variable("params", "kernel_scale")
-            kernel = (kernel.astype(jnp.float32) * scale[None, :]).astype(self.dtype)
+            kernel = dequantize_dense_int8(kernel, scale, self.dtype)
         else:
             kernel = kernel.astype(self.dtype)
         return jnp.dot(x.astype(self.dtype), kernel)

@@ -61,7 +61,16 @@ class PaellaPipeline:
         with untransformed params produces silent garbage. No-op when no
         level is fuse-eligible (e.g. tiny geometries), when the layout is
         already applied, or when `fused_blocks` is off (the split path
-        requires the fused kernels)."""
+        requires the fused kernels).
+
+        CAVEAT: the split path REQUIRES the fused kernel at request time, and
+        the runtime fuse gate also depends on the latent H*W and batch
+        (kernels/resblock.py::fuse_mode VMEM budget). Level eligibility here
+        is alignment-only, checked at the flagship 256^2 geometry — an
+        optimized pipeline serving much larger canvases (e.g. 512^2) can fail
+        the gate at generation time and raise, where the unoptimized pipeline
+        would fall back to the XLA path. Apply it for fixed-size 256^2-class
+        serving; keep the base pipeline for arbitrary-size workloads."""
         from .models.layout import default_split_levels, split_skip_params
 
         cfg = self.model.config
@@ -70,7 +79,11 @@ class PaellaPipeline:
             return self
         new_cfg = dataclasses.replace(cfg, split_skip_levels=levels)
         params = jax.jit(lambda p: split_skip_params(p, cfg, levels))(self.params)
-        return dataclasses.replace(self, model=Paella(new_cfg), params=params)
+        new = dataclasses.replace(self, model=Paella(new_cfg), params=params)
+        # the codec and conditioning caches depend only on vq/vq_vars and the
+        # frozen encoders, which are unchanged — carry the warm jits over
+        new._jit_cache.update(self._jit_cache)
+        return new
 
     # -- conditioning ------------------------------------------------------
 

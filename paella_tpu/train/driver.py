@@ -56,9 +56,11 @@ class _PreemptionGuard:
     """Converts SIGTERM/SIGINT into a cooperative stop flag for the training
     loop. Managed TPU pools deliver SIGTERM with a grace window before
     killing the host; the loop checks `stop_requested` each iteration, saves
-    a final checkpoint, and returns. Restores prior handlers on exit; a
-    second signal therefore kills the process the normal way. No-ops when
-    not on the main thread (signal.signal raises there)."""
+    a final checkpoint, and returns. A SECOND signal restores the previous
+    handler and re-delivers, so a stuck step (first-compile minutes, blocked
+    data iterator) can still be killed with a repeated Ctrl-C/SIGTERM instead
+    of requiring SIGKILL. No-ops when not on the main thread (signal.signal
+    raises there)."""
 
     def __init__(self, enabled: bool = True):
         self.enabled = enabled
@@ -71,6 +73,10 @@ class _PreemptionGuard:
         import signal
 
         def handler(signum, frame):
+            if self.stop_requested:  # second signal: give up on gracefulness
+                signal.signal(signum, self._prev.get(signum, signal.SIG_DFL))
+                os.kill(os.getpid(), signum)
+                return
             self.stop_requested = True
             print(f"[driver] caught signal {signum}: finishing step, saving, exiting")
 

@@ -131,9 +131,11 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     if cfg.skip_nonfinite_updates:
         # GradScaler-equivalent protection (the reference's AMP skips inf/nan
         # steps): non-finite grads leave params AND optimizer state untouched.
-        # After 100 consecutive bad steps updates flow again so a systemic
-        # divergence surfaces in the loss instead of silently stalling.
-        tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
+        # Skip indefinitely (2**30 ~ never at 1.5M steps): optax APPLIES the
+        # update once max_consecutive_errors is exceeded, which would NaN the
+        # params and let checkpoint rotation overwrite every good state — a
+        # systemic problem surfaces through the nonfinite_skips metric instead.
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=2**30)
     return tx
 
 

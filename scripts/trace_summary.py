@@ -60,16 +60,22 @@ def main():
     # emitted BOTH as their own events and inside the while's span — a naive
     # sum double-counts them (observed: 313 "ms/step" vs 199 ms wall on the 1B
     # train step). Subtract each event's children so totals are wall-truthful.
-    ops.sort(key=lambda e: (e["ts"], -e.get("dur", 0)))
-    stack = []  # (end_ts, event) of currently-open enclosing spans
+    # Nesting is PER TRACE ROW: concurrent events from different devices/rows
+    # are not parent/child, so build one stack per (pid, tid).
     child = collections.Counter()  # name -> total time of direct children
+    by_row = collections.defaultdict(list)
     for e in ops:
-        ts, dur = e["ts"], e.get("dur", 0)
-        while stack and stack[-1][0] <= ts:
-            stack.pop()
-        if stack:
-            child[stack[-1][1]["name"]] += dur
-        stack.append((ts + dur, e))
+        by_row[(e["pid"], e["tid"])].append(e)
+    for row in by_row.values():
+        row.sort(key=lambda e: (e["ts"], -e.get("dur", 0)))
+        stack = []  # (end_ts, event) of currently-open enclosing spans
+        for e in row:
+            ts, dur = e["ts"], e.get("dur", 0)
+            while stack and stack[-1][0] <= ts:
+                stack.pop()
+            if stack:
+                child[stack[-1][1]["name"]] += dur
+            stack.append((ts + dur, e))
 
     agg = collections.Counter()
     cnt = collections.Counter()

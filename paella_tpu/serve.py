@@ -330,3 +330,101 @@ class PaellaServer:
                 time.sleep(3600)
         except KeyboardInterrupt:
             self.stop()
+
+
+def build_pipeline(
+    denoiser_path: str,
+    vqgan_path: str,
+    byt5_path: str,
+    clip_path: Optional[str] = None,
+    clip_bpe_path: Optional[str] = None,
+    p_cfg=None,
+    byt5_cfg=None,
+    vq_cfg=None,
+    bf16: bool = True,
+    optimize_layout: bool = True,
+    byt5_int8: bool = False,
+) -> PaellaPipeline:
+    """Checkpoint files -> a ready PaellaPipeline (the one-call serving setup).
+
+    denoiser_path: reference torch checkpoint (.pt, converted on the fly via
+    convert.convert_paella) or this framework's .npz (train.checkpoints).
+    vqgan/byt5/clip load through cond.load_conditional_models. bf16 casts the
+    denoiser weights for inference (weight bandwidth dominates per-step cost);
+    optimize_layout applies the bit-exact split-skip layout when eligible.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .config import PaellaConfig, VQConfig
+    from .cond.loader import load_conditional_models
+    from .cond.t5 import T5Config
+    from .models.denoiser import Paella
+
+    p_cfg = p_cfg or PaellaConfig.v1_byt5_xl_inference()
+    if denoiser_path.endswith(".npz"):
+        from .train.checkpoints import load_params_npz
+
+        params = load_params_npz(denoiser_path)
+    else:
+        from .convert import convert_paella, load_torch_state_dict
+
+        params = convert_paella(load_torch_state_dict(denoiser_path), p_cfg)
+    dtype = jnp.bfloat16 if bf16 else jnp.float32
+    params = jax.tree_util.tree_map(lambda p: jnp.asarray(p, dtype), params)
+
+    models = load_conditional_models(
+        vqgan_path,
+        byt5_path=byt5_path,
+        byt5_cfg=byt5_cfg or T5Config.byt5_xl(),
+        clip_path=clip_path,
+        clip_bpe_path=clip_bpe_path,
+        vq_cfg=vq_cfg or VQConfig(),
+        byt5_int8=byt5_int8,
+    )
+    pipe = PaellaPipeline(
+        model=Paella(p_cfg),
+        params=params,
+        vq=models.vq,
+        vq_vars=models.vq_vars,
+        byt5_encode_fn=models.byt5_encode,
+        clip_text_fn=models.clip_text_encode,
+        clip_image_fn=models.clip_image_encode,
+    )
+    return pipe.optimize_layout() if optimize_layout else pipe
+
+
+def main(argv=None):
+    """python -m paella_tpu.serve --denoiser d.pt --vqgan v.pt --byt5 b.pt
+    [--clip c.pt --clip-bpe merges.txt.gz] [--port 8000] [--max-batch 1]"""
+    import argparse
+
+    ap = argparse.ArgumentParser(description="paella-tpu HTTP serving")
+    ap.add_argument("--denoiser", required=True, help=".pt (torch) or .npz checkpoint")
+    ap.add_argument("--vqgan", required=True)
+    ap.add_argument("--byt5", required=True)
+    ap.add_argument("--clip", default=None)
+    ap.add_argument("--clip-bpe", default=None, help="bpe_simple_vocab_16e6.txt.gz")
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--max-batch", type=int, default=1)
+    ap.add_argument("--no-optimize-layout", action="store_true")
+    ap.add_argument("--byt5-int8", action="store_true",
+                    help="int8 ByT5 weights: halves encoder HBM (slower encode)")
+    ap.add_argument("--no-warmup", action="store_true")
+    args = ap.parse_args(argv)
+
+    pipe = build_pipeline(
+        args.denoiser, args.vqgan, args.byt5,
+        clip_path=args.clip, clip_bpe_path=args.clip_bpe,
+        optimize_layout=not args.no_optimize_layout, byt5_int8=args.byt5_int8,
+    )
+    server = PaellaServer(pipe, host=args.host, port=args.port, max_batch=args.max_batch)
+    if not args.no_warmup:
+        print("warming up (compiles the sampler/codec programs)...")
+        server.warmup()
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

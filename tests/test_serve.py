@@ -183,3 +183,50 @@ def test_batched_error_isolation(batched_server):
     for status, magic in results:
         assert status == 200 and magic == b"\x89PNG\r\n\x1a\n"
     assert bad_status in (400, 500)
+
+
+def test_build_pipeline_from_checkpoints(tmp_path):
+    """serve.build_pipeline: reference-layout torch checkpoint files on disk ->
+    a working pipeline (the CLI `python -m paella_tpu.serve` setup path)."""
+    import numpy as np
+    import torch
+
+    from paella_tpu.serve import build_pipeline
+    from tests.test_convert import synth_paella_state_dict, synth_vqgan_state_dict
+
+    t5_cfg = T5Config.tiny()
+    p_cfg = dataclasses.replace(PaellaConfig.tiny(), byt5_embd=t5_cfg.d_model)
+    v_cfg = VQConfig.tiny()
+
+    def save(sd, path):
+        torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, str(path))
+
+    save(synth_paella_state_dict(p_cfg), tmp_path / "denoiser.pt")
+    save(synth_vqgan_state_dict(v_cfg), tmp_path / "vqgan.pt")
+
+    from transformers import T5Config as HFT5Config, T5EncoderModel
+
+    hf_cfg = HFT5Config(
+        vocab_size=t5_cfg.vocab_size, d_model=t5_cfg.d_model, d_kv=t5_cfg.d_kv,
+        num_heads=t5_cfg.num_heads, d_ff=t5_cfg.d_ff, num_layers=t5_cfg.num_layers,
+        feed_forward_proj="gated-gelu",
+        relative_attention_num_buckets=t5_cfg.relative_attention_num_buckets,
+        relative_attention_max_distance=t5_cfg.relative_attention_max_distance,
+        dropout_rate=0.0, is_encoder_decoder=False, use_cache=False,
+    )
+    torch.manual_seed(0)
+    hf = T5EncoderModel(hf_cfg).eval()
+    save({k: v.detach().numpy() for k, v in hf.state_dict().items()}, tmp_path / "byt5.pt")
+
+    pipe = build_pipeline(
+        str(tmp_path / "denoiser.pt"), str(tmp_path / "vqgan.pt"),
+        str(tmp_path / "byt5.pt"),
+        p_cfg=p_cfg, byt5_cfg=t5_cfg, vq_cfg=v_cfg, bf16=False,
+    )
+    from paella_tpu.config import SampleConfig
+
+    img = pipe.text_to_image(
+        ["a corgi"], jax.random.PRNGKey(0), (64, 64), SampleConfig(steps=2)
+    )
+    assert img.shape == (1, 64, 64, 3)
+    assert float(img.min()) >= 0.0 and float(img.max()) <= 1.0

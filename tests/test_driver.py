@@ -153,11 +153,14 @@ def test_graceful_preemption_saves_and_resumes(tmp_path):
     )
     stopped_at = int(state.step)
     assert 0 < stopped_at < 10  # returned early, after a whole step
-    # the preemption checkpoint exists and resume continues from it
-    data2 = iter(SyntheticDataset(batch_size=8, image_size=64))
-    state2 = run_training(
-        model, vq, vq_vars, data2, encode, null, t_cfg, d_cfg, sample_eval=False
-    )
-    assert int(state2.step) == 10
+    # the preemption checkpoint is restorable AT THE STOP STEP (resume
+    # mechanics themselves are covered by test_driver_runs_and_resumes)
+    from paella_tpu.train import create_train_state
+    from paella_tpu.train.checkpoints import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "run" / "checkpoints"), save_interval=1)
+    template = create_train_state(state.params, t_cfg)
+    restored, _ = mgr.restore(template)
+    assert restored is not None and int(restored.step) == stopped_at
     # handlers were restored
     assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL

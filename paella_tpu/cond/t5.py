@@ -36,6 +36,13 @@ class T5Config:
     relative_attention_max_distance: int = 128
     layer_norm_epsilon: float = 1e-6
     dtype: str = "float32"
+    # True W8A8 for the block linears: requires a quantize_t5_int8-transformed
+    # param tree; activations are dynamically quantized per row and the dot
+    # runs s8xs8->s32 on the double-rate MXU path (quant.w8a8_dot). Unlike
+    # int8_weights alone (a memory lever, measured SLOWER), this converts the
+    # halved weight traffic into encode speed. Opt-in, quality-gated like the
+    # denoiser's act_quant.
+    act_quant: bool = False
 
     @property
     def compute_dtype(self):
@@ -94,6 +101,7 @@ class _T5Dense(nn.Module):
 
     features: int
     dtype: jnp.dtype
+    act_quant: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -101,9 +109,11 @@ class _T5Dense(nn.Module):
             "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features)
         )
         if self.has_variable("params", "kernel_scale"):
-            from ..quant import dequantize_dense_int8
+            from ..quant import dequantize_dense_int8, w8a8_dot
 
             scale = self.get_variable("params", "kernel_scale")
+            if self.act_quant:
+                return w8a8_dot(x, kernel, scale, self.dtype)
             kernel = dequantize_dense_int8(kernel, scale, self.dtype)
         else:
             kernel = kernel.astype(self.dtype)
@@ -117,7 +127,7 @@ class T5Attention(nn.Module):
     def __call__(self, x: Array, mask: Optional[Array], position_bias: Array) -> Array:
         cfg = self.cfg
         inner = cfg.num_heads * cfg.d_kv
-        dense = lambda name: _T5Dense(inner, cfg.compute_dtype, name=name)
+        dense = lambda name: _T5Dense(inner, cfg.compute_dtype, cfg.act_quant, name=name)
         b, s, _ = x.shape
         q = dense("q")(x).reshape(b, s, cfg.num_heads, cfg.d_kv)
         k = dense("k")(x).reshape(b, s, cfg.num_heads, cfg.d_kv)
@@ -129,7 +139,7 @@ class T5Attention(nn.Module):
             scores = jnp.where(mask[:, None, None, :], scores, -1e9)
         probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhns,bshd->bnhd", probs, v).reshape(b, s, inner)
-        return _T5Dense(cfg.d_model, cfg.compute_dtype, name="o")(out)
+        return _T5Dense(cfg.d_model, cfg.compute_dtype, cfg.act_quant, name="o")(out)
 
 
 class T5Block(nn.Module):
@@ -144,11 +154,11 @@ class T5Block(nn.Module):
 
         ln_f = self.param("ff_norm", nn.initializers.ones, (cfg.d_model,))
         h = rms_norm(x, ln_f, cfg.layer_norm_epsilon)
-        wi0 = _T5Dense(cfg.d_ff, cfg.compute_dtype, name="wi_0")(h)
-        wi1 = _T5Dense(cfg.d_ff, cfg.compute_dtype, name="wi_1")(h)
+        wi0 = _T5Dense(cfg.d_ff, cfg.compute_dtype, cfg.act_quant, name="wi_0")(h)
+        wi1 = _T5Dense(cfg.d_ff, cfg.compute_dtype, cfg.act_quant, name="wi_1")(h)
         # T5 v1.1 'gelu_new' = tanh-approximated GELU
         h = jax.nn.gelu(wi0, approximate=True) * wi1
-        x = x + _T5Dense(cfg.d_model, cfg.compute_dtype, name="wo")(h)
+        x = x + _T5Dense(cfg.d_model, cfg.compute_dtype, cfg.act_quant, name="wo")(h)
         return x
 
 

@@ -34,6 +34,29 @@ def dequantize_dense_int8(q: Array, scale: Array, dtype=jnp.float32) -> Array:
     return (q.astype(jnp.float32) * scale[..., None, :]).astype(dtype)
 
 
+def w8a8_dot(x: Array, kernel_q: Array, kernel_scale: Array, dtype) -> Array:
+    """True W8A8 matmul at the XLA level: dynamic per-row symmetric s8
+    activations x per-output-channel s8 weights, s32 accumulation on the
+    double-rate s8 MXU path (scripts/micro_int8.py: 366 vs 191 TFLOP/s),
+    f32 rescale applied to the (small) output.
+
+    Unlike the weight-only path (dequantize_dense_int8), the int8 kernel is
+    consumed directly by the dot — no per-element VPU dequant of the full
+    weight matrix — so batch-1 weight-bandwidth-bound matmuls see the halved
+    HBM traffic as speed, not just memory.
+    """
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    x_scale = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+    xq = jnp.round(x.astype(jnp.float32) / x_scale).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq,
+        kernel_q,
+        (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (acc.astype(jnp.float32) * x_scale * kernel_scale).astype(dtype)
+
+
 def quantize_paella_int8(
     params, levels: Sequence[int] = (1, 2), include_first: bool = False
 ):

@@ -63,27 +63,43 @@ def main():
     def encode(p, ids, mask):
         return model.apply({"params": p}, ids, mask)
 
-    # A/B in ONE process (tunnel p50s drift between runs; working notes)
-    results, results_q = {}, {}
+    # True W8A8 (act_quant): same int8 tree, but the dot consumes the s8
+    # kernel directly on the double-rate MXU path instead of dequantizing it
+    # (quant.w8a8_dot) — the halved weight traffic becomes speed.
+    import dataclasses
+
+    model_aq = T5Encoder(dataclasses.replace(cfg, act_quant=True))
+
+    @jax.jit
+    def encode_aq(p, ids, mask):
+        return model_aq.apply({"params": p}, ids, mask)
+
+    # A/B/C in ONE process (tunnel p50s drift between runs; working notes)
+    results, results_q, results_aq = {}, {}, {}
     for length in (64, 128, 256, 768):
         ids = jnp.ones((1, length), jnp.int32)
         mask = jnp.ones((1, length), bool)
-        for p, out in ((params, results), (qparams, results_q)):
-            np.asarray(encode(p, ids, mask))  # compile
+        for fn, p, out in (
+            (encode, params, results),
+            (encode, qparams, results_q),
+            (encode_aq, qparams, results_aq),
+        ):
+            np.asarray(fn(p, ids, mask))  # compile
             times = []
             for _ in range(8):
                 t0 = time.perf_counter()
-                np.asarray(encode(p, ids, mask))
+                np.asarray(fn(p, ids, mask))
                 times.append(time.perf_counter() - t0)
             times.sort()
             out[length] = round(times[len(times) // 2] * 1000, 2)
         print(
             f"  bucket {length:4d} bytes: p50 {results[length]:7.2f} ms bf16"
             f" | {results_q[length]:7.2f} ms int8 weight-only"
+            f" | {results_aq[length]:7.2f} ms W8A8"
         )
 
     print(json.dumps({"metric": "byt5-xl encode p50 by bucket (ms)", "value": results,
-                      "int8_weight_only": results_q}))
+                      "int8_weight_only": results_q, "w8a8": results_aq}))
 
 
 if __name__ == "__main__":

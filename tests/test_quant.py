@@ -243,3 +243,36 @@ def test_t5_int8_weight_only_close_to_float():
     b = np.asarray(got, np.float64).reshape(-1, cfg.d_model)
     cos = (a * b).sum(-1) / (np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1))
     assert cos.min() > 0.995, cos.min()
+
+
+def test_t5_w8a8_close_to_float():
+    """T5Config.act_quant=True on a quantize_t5_int8 tree runs the true W8A8
+    path (quant.w8a8_dot: per-row s8 activations x per-channel s8 weights,
+    s32 accumulate) and stays within dynamic-quantization distance of the
+    float forward. With a FLOAT param tree the flag is inert (no
+    kernel_scale sibling -> plain dense path), so init/tests of the flagged
+    config are bit-identical to the unflagged one."""
+    from paella_tpu.cond import T5Config, T5Encoder
+    from paella_tpu.quant import quantize_t5_int8
+
+    cfg = T5Config.tiny()
+    enc = T5Encoder(cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 7), 0, cfg.vocab_size)
+    mask = jnp.array([[1, 1, 1, 1, 1, 0, 0], [1, 1, 1, 0, 0, 0, 0]], bool)
+    params = enc.init(jax.random.PRNGKey(0), ids, mask)["params"]
+    ref = enc.apply({"params": params}, ids, mask)
+
+    enc_aq = T5Encoder(dataclasses.replace(cfg, act_quant=True))
+    # inert on float trees: exact same computation
+    same = enc_aq.apply({"params": params}, ids, mask)
+    np.testing.assert_array_equal(np.asarray(same), np.asarray(ref))
+
+    qparams = quantize_t5_int8(params)
+    got = jax.jit(lambda p: enc_aq.apply({"params": p}, ids, mask))(qparams)
+    assert got.shape == ref.shape and np.isfinite(np.asarray(got)).all()
+    rel = np.abs(np.asarray(got - ref)).mean() / np.abs(np.asarray(ref)).mean()
+    assert rel < 0.08, rel
+    a = np.asarray(ref, np.float64).reshape(-1, cfg.d_model)
+    b = np.asarray(got, np.float64).reshape(-1, cfg.d_model)
+    cos = (a * b).sum(-1) / (np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1))
+    assert cos.min() > 0.99, cos.min()

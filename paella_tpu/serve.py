@@ -344,6 +344,7 @@ def build_pipeline(
     bf16: bool = True,
     optimize_layout: bool = True,
     byt5_int8: bool = False,
+    byt5_w8a8: bool = False,
 ) -> PaellaPipeline:
     """Checkpoint files -> a ready PaellaPipeline (the one-call serving setup).
 
@@ -373,6 +374,13 @@ def build_pipeline(
     dtype = jnp.bfloat16 if bf16 else jnp.float32
     params = jax.tree_util.tree_map(lambda p: jnp.asarray(p, dtype), params)
 
+    if byt5_w8a8:
+        import dataclasses
+
+        byt5_int8 = True
+        byt5_cfg = dataclasses.replace(
+            byt5_cfg or T5Config.byt5_xl(), act_quant=True
+        )
     models = load_conditional_models(
         vqgan_path,
         byt5_path=byt5_path,
@@ -411,6 +419,9 @@ def main(argv=None):
     ap.add_argument("--no-optimize-layout", action="store_true")
     ap.add_argument("--byt5-int8", action="store_true",
                     help="int8 ByT5 weights: halves encoder HBM (slower encode)")
+    ap.add_argument("--byt5-w8a8", action="store_true",
+                    help="true W8A8 ByT5: int8 weights + s8-MXU dots "
+                         "(halved HBM and faster encode; quantized text path)")
     ap.add_argument("--no-warmup", action="store_true")
     args = ap.parse_args(argv)
 
@@ -418,6 +429,7 @@ def main(argv=None):
         args.denoiser, args.vqgan, args.byt5,
         clip_path=args.clip, clip_bpe_path=args.clip_bpe,
         optimize_layout=not args.no_optimize_layout, byt5_int8=args.byt5_int8,
+        byt5_w8a8=args.byt5_w8a8,
     )
     server = PaellaServer(pipe, host=args.host, port=args.port, max_batch=args.max_batch)
     if not args.no_warmup:

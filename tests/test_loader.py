@@ -211,3 +211,27 @@ def test_load_byt5_int8_close_to_float(checkpoints):
     assert got.shape == ref.shape and np.isfinite(got).all()
     rel = np.abs(got - ref).mean() / np.abs(ref).mean()
     assert rel < 0.05, rel
+
+
+def test_load_byt5_w8a8_close_to_float(checkpoints):
+    """act_quant=True (true W8A8) loads through the same path and stays within
+    dynamic-quantization distance of the float encode; without int8_weights it
+    must fail loudly (the s8 path needs a quantize_t5_int8 tree)."""
+    import dataclasses
+
+    from paella_tpu.cond import byt5_batch_encode
+    from paella_tpu.cond.loader import load_byt5
+
+    c = checkpoints
+    aq_cfg = dataclasses.replace(c["byt5_cfg"], act_quant=True)
+    with pytest.raises(ValueError, match="int8_weights"):
+        load_byt5(c["byt5"], aq_cfg)
+
+    enc = load_byt5(c["byt5"], c["byt5_cfg"])
+    enc_aq = load_byt5(c["byt5"], aq_cfg, int8_weights=True)
+    ids, mask = byt5_batch_encode(["a red cat", "blue"])
+    ref = np.asarray(enc(jnp.asarray(ids), jnp.asarray(mask)), np.float64)
+    got = np.asarray(enc_aq(jnp.asarray(ids), jnp.asarray(mask)), np.float64)
+    assert got.shape == ref.shape and np.isfinite(got).all()
+    rel = np.abs(got - ref).mean() / np.abs(ref).mean()
+    assert rel < 0.08, rel

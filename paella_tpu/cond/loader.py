@@ -61,11 +61,12 @@ def load_byt5(
     int8_weights=True stores the block linears as per-channel int8
     (quant.quantize_t5_int8), halving the encoder's HBM residency
     (5.2 -> 2.6 GB) at <=0.5% relative output error. Weight-only (the
-    default cfg) is a MEMORY lever, not a speed one: measured SLOWER per
-    encode on v5e (the XLA-path dequant is VPU-bound; scripts/bench_byt5.py
-    A/B). Combine with cfg.act_quant=True for true W8A8, which consumes the
-    s8 kernels directly on the double-rate MXU path (quant.w8a8_dot) and
-    turns the halved weight traffic into encode speed.
+    default cfg) is primarily a MEMORY lever (latency vs bf16 is a
+    session-dependent wash; the XLA-path dequant is VPU-bound). Combine
+    with cfg.act_quant=True for true W8A8, which consumes the s8 kernels
+    directly on the double-rate MXU path (quant.w8a8_dot) — measured
+    faster than bf16 at every prompt bucket (scripts/bench_byt5.py A/B/C;
+    docs/quantization.md).
     """
     from ..convert.torch_import import load_torch_state_dict
 

@@ -92,11 +92,12 @@ class _T5Dense(nn.Module):
 
     Param tree is identical to nn.Dense ({'kernel'}); if the supplied tree was
     transformed by `quant.quantize_t5_int8` (int8 kernel + a 'kernel_scale'
-    sibling, never created at init), the kernel is dequantized per output
-    channel before the matmul. int8 halves the encoder's HBM residency
-    (5.2 -> 2.6 GB for XL) but measured SLOWER per encode on v5e — the
-    XLA-path dequant is VPU-bound (scripts/bench_byt5.py A/B) — so it is a
-    memory lever, off by default.
+    sibling, never created at init), the kernel is either dequantized per
+    output channel before a float matmul (weight-only; halves the encoder's
+    HBM residency, 5.2 -> 2.6 GB for XL, latency a session-dependent wash —
+    the dequant is VPU-bound) or, with act_quant=True, consumed directly by
+    an s8xs8->s32 dot on the double-rate MXU (quant.w8a8_dot; measured
+    faster at every prompt bucket). Both opt-in; see docs/quantization.md.
     """
 
     features: int

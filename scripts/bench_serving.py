@@ -37,6 +37,11 @@ def main():
         "--server-batch", type=int, default=1,
         help="PaellaServer max_batch (dynamic micro-batching)",
     )
+    ap.add_argument(
+        "--byt5-w8a8", action="store_true",
+        help="serve with the true-W8A8 ByT5 encoder (s8 MXU dots; "
+             "measured faster at every prompt bucket in bench_byt5.py)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -74,6 +79,11 @@ def main():
         )
 
     t5_params = make_t5_params()
+    if args.byt5_w8a8:
+        from paella_tpu.quant import quantize_t5_int8
+
+        t5 = T5Encoder(dataclasses.replace(t5_cfg, act_quant=True))
+        t5_params = jax.jit(quantize_t5_int8)(t5_params)
     encode = jax.jit(lambda i, m: t5.apply({"params": t5_params}, i, m))
 
     p_cfg = PaellaConfig.v1_byt5_xl_inference()

@@ -153,6 +153,38 @@ def w8a8_proxy_demo(ckpt: str | None):
     return ok
 
 
+def byt5_w8a8_proxy_demo():
+    """Downstream proxy for the ByT5 act_quant flag on synthetic weights:
+    float vs W8A8 text encode -> SAME denoiser -> logits drift table."""
+    jax.config.update("jax_platforms", "cpu")
+    from paella_tpu.config import PaellaConfig
+    from paella_tpu.cond import T5Config, T5Encoder
+    from paella_tpu.models import Paella, init_params
+    from paella_tpu.quant import t5_w8a8_quality_proxy, w8a8_proxy_verdict
+
+    t5_cfg = T5Config.tiny()
+    cfg = dataclasses.replace(PaellaConfig.tiny(), byt5_embd=t5_cfg.d_model)
+    params = init_params(Paella(cfg), jax.random.PRNGKey(0), latent_hw=(16, 16))
+    # zero-init head would make the logits comparison vacuous
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(1), len(leaves))
+    params = jax.tree_util.tree_unflatten(
+        treedef,
+        [l + 0.02 * jax.random.normal(k, l.shape, l.dtype) for l, k in zip(leaves, keys)],
+    )
+    t5 = T5Encoder(t5_cfg)
+    ids = jnp.zeros((1, 5), jnp.int32)
+    t5_params = t5.init(jax.random.PRNGKey(2), ids, jnp.ones((1, 5), bool))["params"]
+
+    rows = t5_w8a8_quality_proxy(t5_cfg, t5_params, cfg, params, jax.random.PRNGKey(3))
+    print(f"{'t':>5}  {'KL nats/tok':>12}  {'argmax flip':>12}  {'rel |dlogit|':>12}")
+    for r in rows:
+        print(f"{r['t']:5.2f}  {r['kl']:12.5f}  {r['flip']:12.3%}  {r['rel']:12.4f}")
+    ok, msg = w8a8_proxy_verdict(rows)
+    print("byt5 act_quant:", msg)
+    return ok
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", default=None, help="converted denoiser checkpoint")
@@ -160,8 +192,14 @@ if __name__ == "__main__":
         "--w8a8-proxy", action="store_true",
         help="print the W8A8 quality-proxy table + recommendation",
     )
+    ap.add_argument(
+        "--byt5-w8a8-proxy", action="store_true",
+        help="print the ByT5 act_quant downstream quality-proxy table",
+    )
     args, _ = ap.parse_known_args()
-    if args.w8a8_proxy:
+    if args.byt5_w8a8_proxy:
+        byt5_w8a8_proxy_demo()
+    elif args.w8a8_proxy:
         w8a8_proxy_demo(args.ckpt)
     elif args.ckpt is None:
         tiny_demo()

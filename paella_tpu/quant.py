@@ -230,3 +230,73 @@ def w8a8_proxy_verdict(rows) -> Tuple[bool, str]:
         )
     )
     return ok, msg
+
+
+def t5_w8a8_quality_proxy(
+    t5_config,
+    t5_params,
+    config,
+    params,
+    key: Array,
+    t_values: Sequence[float] = (0.9, 0.5, 0.1),
+    batch: int = 2,
+    latent_hw: Tuple[int, int] = (16, 16),
+    byt5_len: int = 5,
+):
+    """Downstream go/no-go proxy for ByT5 act_quant — the text-path analog of
+    w8a8_quality_proxy: encode the SAME token ids with the float and the W8A8
+    encoder (T5Config.act_quant on a quantize_t5_int8 tree), feed both
+    conditioning states to the SAME float-path denoiser, and report the
+    denoiser-logits drift per noise level t as {"t", "kl", "flip", "rel"}
+    rows for w8a8_proxy_verdict. Requires config.byt5_embd == t5_config.d_model.
+
+    This measures what actually matters for generation: how much the
+    quantized text tower perturbs the token logits, not just the encoder
+    states' cosine (tests pin that separately).
+    """
+    import dataclasses as _dc
+
+    from .cond.t5 import T5Encoder
+    from .models.denoiser import Paella
+
+    if config.byt5_embd != t5_config.d_model:
+        raise ValueError(
+            f"byt5_embd {config.byt5_embd} != t5 d_model {t5_config.d_model}"
+        )
+    enc_f = T5Encoder(_dc.replace(t5_config, act_quant=False))
+    enc_q = T5Encoder(_dc.replace(t5_config, act_quant=True))
+    qt5 = quantize_t5_int8(t5_params)
+
+    base = _dc.replace(config, dropout=tuple(0.0 for _ in config.dropout))
+    model = Paella(base)
+
+    h, w = latent_hw
+    k_x, k_i, k_c = jax.random.split(key, 3)
+    x = jax.random.randint(k_x, (batch, h, w), 0, base.num_labels)
+    ids = jax.random.randint(k_i, (batch, byt5_len), 0, t5_config.vocab_size)
+    mask = jnp.ones((batch, byt5_len), bool)
+    clip = jax.random.normal(k_c, (batch, base.clip_embd), base.compute_dtype)
+
+    @jax.jit
+    def compare(t):
+        byt5_f = enc_f.apply({"params": t5_params}, ids, mask)
+        byt5_q = enc_q.apply({"params": qt5}, ids, mask)
+        tb = jnp.full((batch,), t, jnp.float32)
+        dt = base.compute_dtype
+        ref = model.apply({"params": params}, x, tb, byt5_f.astype(dt), clip)
+        got = model.apply({"params": params}, x, tb, byt5_q.astype(dt), clip)
+        ref, got = ref.astype(jnp.float32), got.astype(jnp.float32)
+        lp_ref = jax.nn.log_softmax(ref, axis=-1)
+        lp_got = jax.nn.log_softmax(got, axis=-1)
+        kl = jnp.sum(jnp.exp(lp_ref) * (lp_ref - lp_got), axis=-1).mean()
+        flip = (ref.argmax(-1) != got.argmax(-1)).mean()
+        rel = jnp.abs(got - ref).mean() / (jnp.abs(ref).mean() + 1e-9)
+        return kl, flip, rel
+
+    rows = []
+    for t in t_values:
+        kl, flip, rel = compare(jnp.float32(t))
+        rows.append(
+            {"t": float(t), "kl": float(kl), "flip": float(flip), "rel": float(rel)}
+        )
+    return rows

@@ -276,3 +276,45 @@ def test_t5_w8a8_close_to_float():
     b = np.asarray(got, np.float64).reshape(-1, cfg.d_model)
     cos = (a * b).sum(-1) / (np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1))
     assert cos.min() > 0.99, cos.min()
+
+
+def test_t5_w8a8_downstream_proxy():
+    """t5_w8a8_quality_proxy: the ByT5 act_quant go/no-go rows are finite and
+    sane, the verdict applies the documented thresholds, and mismatched
+    byt5_embd fails loudly."""
+    import pytest
+
+    from paella_tpu.cond import T5Config, T5Encoder
+    from paella_tpu.models import Paella, init_params
+    from paella_tpu.quant import t5_w8a8_quality_proxy, w8a8_proxy_verdict
+
+    t5_cfg = T5Config.tiny()
+    cfg = dataclasses.replace(PaellaConfig.tiny(), byt5_embd=t5_cfg.d_model)
+    params = init_params(Paella(cfg), jax.random.PRNGKey(0), latent_hw=(8, 8))
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(1), len(leaves))
+    params = jax.tree_util.tree_unflatten(
+        treedef,
+        [l + 0.02 * jax.random.normal(k, l.shape, l.dtype) for l, k in zip(leaves, keys)],
+    )
+    t5 = T5Encoder(t5_cfg)
+    ids = jnp.zeros((1, 5), jnp.int32)
+    t5_params = t5.init(jax.random.PRNGKey(2), ids, jnp.ones((1, 5), bool))["params"]
+
+    rows = t5_w8a8_quality_proxy(
+        t5_cfg, t5_params, cfg, params, jax.random.PRNGKey(3),
+        t_values=(0.9, 0.3), latent_hw=(8, 8),
+    )
+    assert len(rows) == 2
+    for r in rows:
+        assert np.isfinite(r["kl"]) and r["kl"] >= 0
+        assert 0 <= r["flip"] <= 1 and np.isfinite(r["rel"])
+    ok, msg = w8a8_proxy_verdict(rows)
+    assert ("PASS" in msg) == ok
+
+    with pytest.raises(ValueError, match="byt5_embd"):
+        t5_w8a8_quality_proxy(
+            T5Config.tiny(), t5_params,
+            dataclasses.replace(cfg, byt5_embd=t5_cfg.d_model + 1), params,
+            jax.random.PRNGKey(3),
+        )

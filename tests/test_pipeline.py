@@ -201,3 +201,43 @@ def test_optimize_layout_bit_exact():
     )
     mismatch = (np.asarray(t_base) != np.asarray(t_opt)).mean()
     assert mismatch <= 0.02, mismatch
+
+
+def test_text_conditioning_lru_cache(pipe):
+    """encode_text caches prompt->states (frozen encoders are deterministic):
+    a repeat prompt skips the ByT5 tower; the LRU evicts oldest-first; and
+    text_cache_size=0 disables caching."""
+    calls = {"n": 0}
+    real_fn = pipe.byt5_encode_fn
+
+    def counting_fn(ids, mask):
+        calls["n"] += 1
+        return real_fn(ids, mask)
+
+    p = dataclasses.replace(pipe, byt5_encode_fn=counting_fn, text_cache_size=2)
+
+    s1, m1 = p.encode_text(["a corgi"])
+    assert calls["n"] == 1
+    s1b, m1b = p.encode_text(["a corgi"])  # hit
+    assert calls["n"] == 1
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s1b))
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m1b))
+
+    p.encode_text(["a cat"])  # second entry
+    assert calls["n"] == 2
+    p.encode_text(["a dog"])  # evicts "a corgi" (LRU size 2)
+    assert calls["n"] == 3
+    p.encode_text(["a cat"])  # still cached
+    assert calls["n"] == 3
+    p.encode_text(["a corgi"])  # was evicted -> re-encode
+    assert calls["n"] == 4
+
+    # batch identity is part of the key (states depend on shared padding)
+    p.encode_text(["a corgi", "a cat"])
+    assert calls["n"] == 5
+
+    p0 = dataclasses.replace(pipe, byt5_encode_fn=counting_fn, text_cache_size=0)
+    calls["n"] = 0
+    p0.encode_text(["a corgi"])
+    p0.encode_text(["a corgi"])
+    assert calls["n"] == 2

@@ -183,9 +183,18 @@ def run_http(args, t5, t5_params, model, params, vq, vq_vars):
     url = f"http://127.0.0.1:{httpd.server_address[1]}/generate"
     prompt = "a corgi wearing a top hat"
 
-    def fire(i, cfg_w=8.0):
+    def fire(i, cfg_w=8.0, unique=True):
+        # unique prompts by default: the pipeline's text-conditioning LRU
+        # would otherwise skip the ByT5 tower after request 1 and this would
+        # silently become a cache benchmark. The suffix stays inside the same
+        # pad bucket, so no new compiles.
         body = _json.dumps(
-            {"prompt": prompt, "steps": args.steps, "seed": i, "cfg": cfg_w}
+            {
+                "prompt": f"{prompt} #{i}" if unique else prompt,
+                "steps": args.steps,
+                "seed": i,
+                "cfg": cfg_w,
+            }
         ).encode()
         req = urllib.request.Request(
             url, data=body, headers={"Content-Type": "application/json"}
@@ -226,6 +235,18 @@ def run_http(args, t5, t5_params, model, params, vq, vq_vars):
         f"http overlapped (c={args.concurrency}): {wall / args.requests:.1f} "
         f"ms/request steady-state  (per-request latency p50 "
         f"{np.percentile(np.array(lat), 50):.1f} ms)"
+    )
+
+    # seed-sweep scenario: SAME prompt, different seeds — after request 1 the
+    # pipeline's text-conditioning LRU skips the ByT5 tower entirely
+    fire(299, unique=False)  # populate the cache entry outside the timing
+    seq_hit = np.array(
+        [fire(300 + i, unique=False) for i in range(args.requests)]
+    )
+    print(
+        f"http sequential, cached prompt (seed sweep): p50 "
+        f"{np.percentile(seq_hit, 50):.1f} ms/request  "
+        f"p10 {np.percentile(seq_hit, 10):.1f}"
     )
     srv.stop()
 

@@ -126,12 +126,27 @@ class PaellaPipeline:
         prompts: Sequence[str],
         images: Optional[Array] = None,
     ) -> Conditioning:
+        # text-only conditioning is deterministic in the prompts — LRU the
+        # whole bundle (ByT5 AND CLIP-text towers) for seed sweeps / repeated
+        # negative prompts; image conditioning can't be keyed (array input)
+        # but its byt5 part still hits the encode_text cache
+        key = ("cond", tuple(prompts))
+        if images is None:
+            hit = self._text_cache.get(key)
+            if hit is not None:
+                self._text_cache.move_to_end(key)
+                return hit
         byt5, byt5_mask = self.encode_text(prompts)
         clip = self.clip_text_fn(prompts) if self.clip_text_fn is not None else None
         clip_image = (
             self.clip_image_fn(images) if (self.clip_image_fn is not None and images is not None) else None
         )
-        return Conditioning(byt5=byt5, byt5_mask=byt5_mask, clip=clip, clip_image=clip_image)
+        out = Conditioning(byt5=byt5, byt5_mask=byt5_mask, clip=clip, clip_image=clip_image)
+        if images is None and self.text_cache_size > 0:
+            self._text_cache[key] = out
+            while len(self._text_cache) > self.text_cache_size:
+                self._text_cache.popitem(last=False)
+        return out
 
     def null_conditioning(self, batch: int) -> Conditioning:
         # deterministic given the frozen encoders — cache per batch size so a

@@ -241,3 +241,38 @@ def test_text_conditioning_lru_cache(pipe):
     p0.encode_text(["a corgi"])
     p0.encode_text(["a corgi"])
     assert calls["n"] == 2
+
+
+def test_conditioning_lru_covers_clip_text(pipe):
+    """conditioning() caches the full text bundle (ByT5 + CLIP text) for
+    text-only requests; image conditioning bypasses the bundle cache."""
+    calls = {"byt5": 0, "clip": 0}
+    real_fn = pipe.byt5_encode_fn
+
+    def byt5_fn(ids, mask):
+        calls["byt5"] += 1
+        return real_fn(ids, mask)
+
+    def clip_fn(prompts):
+        calls["clip"] += 1
+        return jnp.zeros((len(prompts), pipe.model.config.clip_embd))
+
+    def clip_img_fn(images):
+        return jnp.zeros((images.shape[0], pipe.model.config.clip_embd))
+
+    p = dataclasses.replace(
+        pipe, byt5_encode_fn=byt5_fn, clip_text_fn=clip_fn,
+        clip_image_fn=clip_img_fn, text_cache_size=4,
+    )
+    c1 = p.conditioning(["a corgi"])
+    assert calls == {"byt5": 1, "clip": 1}
+    c2 = p.conditioning(["a corgi"])
+    assert calls == {"byt5": 1, "clip": 1}  # full-bundle hit
+    np.testing.assert_array_equal(np.asarray(c1.byt5), np.asarray(c2.byt5))
+
+    # image conditioning: bundle cache bypassed (fresh clip_image every call),
+    # but the byt5 leg still hits encode_text's cache
+    img = jnp.ones((1, 8, 8, 3)) * 0.5
+    ci = p.conditioning(["a corgi"], images=img)
+    assert ci.clip_image is not None
+    assert calls["byt5"] == 1 and calls["clip"] == 2

@@ -36,18 +36,24 @@ def _mix(h):
     return h
 
 
-def _kernel(seed_ref, temp_ref, logits_ref, out_ref, *, k: int, tile_m: int):
+def _kernel(seed_ref, temp_ref, logits_ref, out_ref, *, k: int, tile_m: int, hw: int):
     i = pl.program_id(0)
     inv_temp = 1.0 / temp_ref[0]
     logits = logits_ref[...].astype(jnp.float32) * inv_temp  # (TM, K)
-    # counter-based PRNG: one u32 per element from its global index + the key
-    # (two murmur3-finalizer rounds with seed injection — statistically clean
-    # for Gumbel noise, portable to interpret mode, deterministic per key)
+    # counter-based PRNG: one u32 per element from its image-LOCAL index + that
+    # image's key (two murmur3-finalizer rounds with seed injection —
+    # statistically clean for Gumbel noise, portable to interpret mode,
+    # deterministic per key). seed_ref is (n_images, 2); `hw` rows per image
+    # (the whole array for a scalar key), so each image's stream depends only
+    # on its own key — batch position and batchmates don't perturb it.
+    row0 = i * tile_m
+    bi = row0 // hw
+    local0 = row0 - bi * hw
     rows = jax.lax.broadcasted_iota(jnp.uint32, logits.shape, 0)
     cols = jax.lax.broadcasted_iota(jnp.uint32, logits.shape, 1)
-    idx = (jnp.uint32(i * tile_m) + rows) * jnp.uint32(k) + cols
-    h = _mix(idx ^ seed_ref[0].astype(jnp.uint32))
-    u32 = _mix(h + seed_ref[1].astype(jnp.uint32))
+    idx = (jnp.uint32(local0) + rows) * jnp.uint32(k) + cols
+    h = _mix(idx ^ seed_ref[bi, 0].astype(jnp.uint32))
+    u32 = _mix(h + seed_ref[bi, 1].astype(jnp.uint32))
     # uniform in (0, 1): 24 high bits, offset by 2^-25 so log(log) never hits 0.
     # Mosaic has no u32->f32 cast; the shifted value fits 24 bits, so bitcast
     # to i32 (exact) and convert from there.
@@ -67,6 +73,7 @@ def _head_kernel(
     *,
     k: int,
     tile_m: int,
+    hw: int,
     with_cfg: bool,
 ):
     i = pl.program_id(0)
@@ -86,16 +93,59 @@ def _head_kernel(
         preferred_element_type=jnp.float32,
     )  # (TM, K) — lives only in VMEM; HBM never sees the 8192-wide logits
     inv_temp = 1.0 / temp_ref[0]
+    # same per-image PRNG indexing as _kernel (see its comment)
+    row0 = i * tile_m
+    bi = row0 // hw
+    local0 = row0 - bi * hw
     rows = jax.lax.broadcasted_iota(jnp.uint32, logits.shape, 0)
     cols = jax.lax.broadcasted_iota(jnp.uint32, logits.shape, 1)
-    idx = (jnp.uint32(i * tile_m) + rows) * jnp.uint32(k) + cols
-    h = _mix(idx ^ seed_ref[0].astype(jnp.uint32))
-    u32 = _mix(h + seed_ref[1].astype(jnp.uint32))
+    idx = (jnp.uint32(local0) + rows) * jnp.uint32(k) + cols
+    h = _mix(idx ^ seed_ref[bi, 0].astype(jnp.uint32))
+    u32 = _mix(h + seed_ref[bi, 1].astype(jnp.uint32))
     u24 = pltpu.bitcast(u32 >> 8, jnp.int32)
     u = u24.astype(jnp.float32) * (2.0**-24) + (2.0**-25)
     gumbel = -jnp.log(-jnp.log(u))
     score = logits * inv_temp + gumbel
     out_ref[...] = jnp.argmax(score, axis=-1).astype(jnp.int32).reshape(-1, 1)
+
+
+def is_batched_key(key: Array) -> bool:
+    """True iff `key` is a batch of PRNG keys (one per image): a (B,)-shaped
+    typed key array, or a (B, 2) stack of legacy raw uint32 keys."""
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        return key.ndim == 1
+    return key.ndim == 2
+
+
+def _seeds_and_tiling(key: Array, m: int, tile_m: int) -> tuple[Array, int, int]:
+    """Fold the PRNG key(s) into per-image (n_images, 2) i32 seeds.
+
+    A scalar key keeps the original single-stream indexing (hw = the whole
+    padded array). A BATCHED key (shape (n_images,), one per image — the
+    serving layer's per-request seeds) gives every image its own seed pair and
+    image-local counter indices, so each image's draw is bit-identical whether
+    it is sampled alone or inside any batch (serve.py micro-batching
+    determinism). Requires m % n_images == 0; tile_m is shrunk to divide the
+    per-image row count so no tile straddles two images.
+    """
+    if is_batched_key(key):
+        n_img = key.shape[0]
+        if m % n_img:
+            raise ValueError(f"batched key: {n_img} keys do not divide {m} rows")
+        hw = m // n_img
+        while tile_m > 8 and hw % tile_m:
+            tile_m //= 2
+        if hw % tile_m:
+            raise ValueError(
+                f"per-image keys need rows-per-image ({hw}) divisible by 8"
+            )
+        data = jax.vmap(lambda kk: jax.random.key_data(kk).reshape(-1))(key)
+        data = data.astype(jnp.uint32)
+        seeds = jnp.stack([data[:, 0], data[:, -1]], axis=1).astype(jnp.int32)
+        return seeds, hw, tile_m
+    data = jax.random.key_data(key).reshape(-1).astype(jnp.uint32)
+    seeds = jnp.stack([data[0], data[-1]]).reshape(1, 2).astype(jnp.int32)
+    return seeds, 0, tile_m  # hw filled in by the caller (padded row count)
 
 
 def fused_head_categorical(
@@ -124,6 +174,9 @@ def fused_head_categorical(
     (key, token-count, K).
 
     feat_c/feat_u: (B, H, W, C) or (M, C). Returns (B, H, W) / (M,) int32.
+    `key` may be a scalar key (one stream over the whole batch, the historical
+    bit-stream) or a (n_images,) batched key — per-image streams independent
+    of batch composition (see _seeds_and_tiling).
     """
     orig = feat_c.shape[:-1]
     c = feat_c.shape[-1]
@@ -131,6 +184,7 @@ def fused_head_categorical(
     with_cfg = feat_u is not None
     flat_c = feat_c.reshape(-1, c)
     m = flat_c.shape[0]
+    seeds, hw, tile_m = _seeds_and_tiling(key, m, tile_m)
     pad = (-m) % tile_m
     if pad:
         flat_c = jnp.pad(flat_c, ((0, pad), (0, 0)))
@@ -141,9 +195,8 @@ def fused_head_categorical(
     else:
         flat_u = jnp.zeros((flat_c.shape[0], 8), flat_c.dtype)
     mp = flat_c.shape[0]
+    hw = hw or mp
 
-    data = jax.random.key_data(key).reshape(-1).astype(jnp.uint32)
-    seeds = jnp.stack([data[0], data[-1]]).astype(jnp.int32)
     temp = jnp.asarray(temperature, jnp.float32).reshape(1)
     cfgw = jnp.asarray(
         cfg_weight if with_cfg else 0.0, jnp.float32
@@ -160,7 +213,7 @@ def fused_head_categorical(
         out_specs=pl.BlockSpec((tile_m, 1), lambda i, *s: (i, 0)),
     )
     out = pl.pallas_call(
-        functools.partial(_head_kernel, k=k, tile_m=tile_m, with_cfg=with_cfg),
+        functools.partial(_head_kernel, k=k, tile_m=tile_m, hw=hw, with_cfg=with_cfg),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((mp, 1), jnp.int32),
         interpret=interpret,
@@ -185,14 +238,13 @@ def gumbel_categorical(
     k = logits.shape[-1]
     flat = logits.reshape(-1, k)
     m = flat.shape[0]
+    seeds, hw, tile_m = _seeds_and_tiling(key, m, tile_m)
     pad = (-m) % tile_m
     if pad:
         flat = jnp.pad(flat, ((0, pad), (0, 0)))
     mp = flat.shape[0]
+    hw = hw or mp
 
-    # fold the key into two 32-bit seeds; the grid index separates tiles
-    data = jax.random.key_data(key).reshape(-1).astype(jnp.uint32)
-    seeds = jnp.stack([data[0], data[-1]]).astype(jnp.int32)
     temp = jnp.asarray(temperature, jnp.float32).reshape(1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -202,7 +254,7 @@ def gumbel_categorical(
         out_specs=pl.BlockSpec((tile_m, 1), lambda i, s, t: (i, 0)),
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, k=k, tile_m=tile_m),
+        functools.partial(_kernel, k=k, tile_m=tile_m, hw=hw),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((mp, 1), jnp.int32),
         interpret=interpret,

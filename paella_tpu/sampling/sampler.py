@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SampleConfig
+from ..kernels.sampling import is_batched_key
 from ..models.noise import add_noise
 
 Array = jax.Array
@@ -66,6 +67,37 @@ def fast_key(seed: int) -> Array:
 
 def _ones_mask(b: int) -> Array:
     return jnp.ones((b,), bool)
+
+
+def _mix32(h: Array) -> Array:
+    """murmur3 finalizer (full-avalanche 32-bit mix) — the same hash the
+    pallas sampling kernel uses (kernels/sampling.py::_mix)."""
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return h
+
+
+def _hash_bits(seeds: Array, shape: tuple) -> Array:
+    """Counter-hash u32 bits: seeds (B, 2) uint32 -> (B, *shape) uint32.
+    Element i of every image uses the image-LOCAL counter index, so a given
+    image's bits depend only on its own seed pair — never on batch size,
+    position, or batchmates."""
+    import numpy as _np
+
+    n = int(_np.prod(shape))
+    idx = jnp.arange(n, dtype=jnp.uint32).reshape((1,) + tuple(shape))
+    ex = (slice(None),) + (None,) * len(shape)
+    return _mix32(_mix32(idx ^ seeds[:, 0][ex]) + seeds[:, 1][ex])
+
+
+def _hash_uniform(seeds: Array, shape: tuple) -> Array:
+    """(0, 1) floats from the high 24 bits (exact in f32), offset so log(log)
+    never sees 0 — bit-compatible with the pallas kernel's recipe."""
+    bits = _hash_bits(seeds, shape)
+    return (bits >> 8).astype(jnp.float32) * (2.0**-24) + (2.0**-25)
 
 
 def merge_cfg_pair(cond: Conditioning, uncond: Conditioning) -> Conditioning:
@@ -175,9 +207,21 @@ def sample(
     on). The schedule VALUES — cfg weights, temperatures, t_start/t_end,
     renoise_steps — are traced operands, so a server sweeping guidance
     weights or temperatures per request reuses one compiled program.
+
+    PRNG: `key` may be a scalar key (one stream over the whole batch — the
+    historical behavior) or a BATCHED key of shape (B,), one per image. With
+    per-image keys every random draw (init noise, categorical, renoise) is
+    keyed by that image's key alone, so image i's tokens are bit-identical
+    whether sampled at batch 1 or inside any batch — the determinism contract
+    serving micro-batching needs (serve.py folds each request's seed into its
+    own key).
     """
     cfg = config.resolved()
     b, h, w = latent_shape
+    if is_batched_key(key) and key.shape[0] != b:
+        raise ValueError(
+            f"batched key has {key.shape[0]} keys but latent batch is {b}"
+        )
     down = model.config.patch_size * 2 ** (len(model.config.c_hidden) - 1)
     if h % down or w % down:
         raise ValueError(
@@ -244,9 +288,45 @@ def _sample_jit(
     b, h, w = latent_shape
     num_labels = model.config.num_labels
     do_cfg = unconditional is not None
+    per_image = is_batched_key(key)  # (B,) batched keys: per-image streams
 
-    key, k_init = jax.random.split(key)
-    init_noise = jax.random.randint(k_init, latent_shape, 0, num_labels, jnp.int32)
+    if per_image:
+        # Per-image mode draws EVERYTHING from a counter-hash PRNG (the same
+        # murmur3 scheme kernels/sampling.py uses) keyed by each image's own
+        # key data + a per-(step, draw) salt. Two reasons jax.random cannot be
+        # used here: (a) rbg keys — the TPU-safe impl — are NOT vmap-
+        # invariant: vmapped draws over a key batch do not reproduce the solo
+        # per-key draws (observed: lane 0 matches, lanes 1+ diverge), which is
+        # the whole point of this mode; (b) threefry keys vmap correctly but
+        # threefry derivation inside this scan is the known XLA compile bomb
+        # on the 1B model. The hash draws are deterministic per (image key,
+        # step), independent of batch size/composition, and have no in-scan
+        # RNG primitives at all.
+        data = jax.vmap(lambda kk: jax.random.key_data(kk).reshape(-1))(key)
+        data = data.astype(jnp.uint32)
+        s0, s1 = data[:, 0], data[:, -1]
+
+        def derive_seeds(tag: int, idx: Array) -> Array:
+            """(len(idx), B, 2) uint32 seed pairs for draw `tag` at steps idx."""
+            salts = _mix32(
+                idx.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+                + jnp.uint32(tag) * jnp.uint32(0x85EBCA6B)
+                + jnp.uint32(1)
+            )
+            return jnp.stack(
+                [_mix32(s0[None, :] ^ salts[:, None]), _mix32(s1[None, :] + salts[:, None])],
+                axis=-1,
+            )
+
+        init_seeds = derive_seeds(0, jnp.zeros((1,), jnp.uint32))[0]
+        # % num_labels is exact for power-of-two codebooks (the 8192 default);
+        # otherwise the modulo bias is ~num_labels/2^32 — negligible
+        init_noise = (
+            _hash_bits(init_seeds, (h, w)) % jnp.uint32(num_labels)
+        ).astype(jnp.int32)
+    else:
+        key, k_init = jax.random.split(key)
+        init_noise = jax.random.randint(k_init, latent_shape, 0, num_labels, jnp.int32)
     sampled = init_noise if init_x is None else init_x.astype(jnp.int32)
     if fixed_mask is not None:
         sampled = jnp.where(fixed_mask, fixed_tokens, sampled)
@@ -284,8 +364,11 @@ def _sample_jit(
     def make_step(with_cfg: bool):
         def step(carry, inputs):
             sampled, key = carry
-            i, t_curr, t_next, temp, cfg_w = inputs
-            key, k_cat, k_noise = jax.random.split(key, 3)
+            if per_image:
+                i, t_curr, t_next, temp, cfg_w, k_cat, k_noise = inputs
+            else:
+                i, t_curr, t_next, temp, cfg_w = inputs
+                key, k_cat, k_noise = jax.random.split(key, 3)
             t = jnp.full((b,), t_curr, jnp.float32)
 
             if with_cfg:
@@ -330,13 +413,30 @@ def _sample_jit(
                     logits = head(fc32 * cfg_w + fu32 * (1.0 - cfg_w))
                 else:
                     logits = head(feat_c)
-                new_tokens = jax.random.categorical(
-                    k_cat, logits.astype(jnp.float32) / temp, axis=-1
-                ).astype(jnp.int32)
+                scaled = logits.astype(jnp.float32) / temp
+                if per_image:
+                    # Gumbel-argmax with per-image counter-hash bits — the
+                    # same reparameterization jax.random.categorical uses
+                    u = _hash_uniform(k_cat, scaled.shape[1:])
+                    gumbel = -jnp.log(-jnp.log(u))
+                    new_tokens = jnp.argmax(scaled + gumbel, axis=-1).astype(jnp.int32)
+                else:
+                    new_tokens = jax.random.categorical(k_cat, scaled, axis=-1).astype(
+                        jnp.int32
+                    )
 
             # renoise toward the SAME init_noise (src_distributed/utils.py:123-125)
-            t_next_b = jnp.full((b,), t_next, jnp.float32)
-            renoised, _ = add_noise(k_noise, new_tokens, t_next_b, num_labels, random_x=init_noise)
+            if per_image:
+                # add_noise with random_x=init_noise reduces to the Bernoulli
+                # mask draw — per-image hash bits instead of a PRNG key
+                u = _hash_uniform(k_noise, (h, w))
+                mask = (u <= t_next).astype(jnp.int32)
+                renoised = new_tokens * (1 - mask) + init_noise * mask
+            else:
+                t_next_b = jnp.full((b,), t_next, jnp.float32)
+                renoised, _ = add_noise(
+                    k_noise, new_tokens, t_next_b, num_labels, random_x=init_noise
+                )
             new_tokens = jnp.where(i < renoise_steps, renoised, new_tokens)
 
             if fixed_mask is not None:
@@ -352,6 +452,10 @@ def _sample_jit(
         temperatures,
         cfgs,
     )
+    if per_image:
+        # per-(step, draw) seed pairs, derived OUTSIDE the scan: (steps, B, 2)
+        step_idx = jnp.arange(steps, dtype=jnp.uint32)
+        xs = xs + (derive_seeds(1, step_idx), derive_seeds(2, step_idx))
     # sampling_conditional_steps is static, so the schedule splits into a CFG
     # phase and a cond-only phase of static lengths: the uncond forward is never
     # computed-and-discarded (the reference likewise skips it,

@@ -59,6 +59,18 @@ import numpy as np
 from .config import SampleConfig
 from .pipeline import PaellaPipeline
 from .sampling import fast_key
+from .sampling import sample as _sample
+
+
+def _request_keys(seeds) -> "jax.Array":
+    """Per-request seeds -> a (B,) batched PRNG key array (one key per image).
+
+    The sampler's per-image mode (sampling/sampler.py) makes each image's
+    random stream a function of its own key only, which is what makes serving
+    results reproducible per {prompt, seed} regardless of micro-batching."""
+    import jax.numpy as jnp
+
+    return jnp.stack([fast_key(int(s)) for s in seeds])
 
 
 def _png_bytes(image: np.ndarray) -> bytes:
@@ -102,10 +114,12 @@ class PaellaServer:
     so at most log2(max_batch)+1 programs compile. Measured at the 1B/v5e
     geometry this is throughput-neutral (see module docstring) because
     batch-1 already saturates the chip — enable it where batch-1 does not.
-    Trade-offs when on: per-request seeds stay honored (each request's seed
-    is folded into the batch key) but exact reproducibility then depends on
-    batch composition, and tail latency rises; single-request mode
-    (max_batch=1, the default) is bit-stable per seed.
+    Seeds: every request's seed becomes its OWN per-image PRNG key (a batched
+    key threaded through the sampler, sampling/sampler.py), so {prompt, seed}
+    is bit-reproducible in BOTH modes — the same image comes back whether the
+    request rode alone or inside any micro-batch (pinned by
+    test_serve.py::test_batched_seed_determinism). The residual batched-mode
+    trade-off is tail latency only.
     """
 
     def __init__(
@@ -152,7 +166,7 @@ class PaellaServer:
         with self._dispatch_lock:
             img = self.pipeline.text_to_image(
                 [prompt],
-                fast_key(seed),
+                _request_keys([seed]),
                 (h, w),
                 cfg,
                 negative_prompts=[negative] if negative else None,
@@ -188,8 +202,6 @@ class PaellaServer:
             self._run_batch(jobs, key)
 
     def _run_batch(self, jobs, key):
-        import jax
-
         steps, cfg_w, h, w = key
         try:
             n = len(jobs)
@@ -203,18 +215,37 @@ class PaellaServer:
                 int(j.req.get("seed", int(time.time() * 1e3) % (2**31)))
                 for j in jobs
             ]
-            rng = fast_key(seeds[0])
-            for s in seeds[1:]:
-                rng = jax.random.fold_in(rng, s % (2**31))
+            # one key PER IMAGE from that request's own seed: the sampler's
+            # batched-key mode keys every draw by the image's key alone, so
+            # the tokens for {prompt, seed} are independent of batch
+            # composition (padding slots reuse seed 0; their tokens are
+            # discarded)
+            rng = _request_keys(seeds + [0] * (b - n))
+            pipe = self.pipeline
             with self._dispatch_lock:
-                imgs = self.pipeline.text_to_image(
-                    prompts,
-                    rng,
-                    (h, w),
-                    SampleConfig(steps=steps, cfg=cfg_w),
-                    negative_prompts=negatives if any(negatives) else None,
+                cond = pipe.conditioning(prompts)
+                # a job without a negative prompt gets "" — identical row
+                # values to the single path's null_conditioning
+                uncond = (
+                    pipe.conditioning(negatives)
+                    if any(negatives)
+                    else pipe.null_conditioning(b)
                 )
-                imgs = self._to_uint8(imgs)
+                lh, lw = pipe._latent_hw((h, w))
+                tokens = _sample(
+                    pipe.model, pipe.params, rng, cond, (b, lh, lw), uncond,
+                    SampleConfig(steps=steps, cfg=cfg_w),
+                )
+                # decode each image through the SAME batch-1 program the
+                # single-request path uses: conv reductions are not bit-stable
+                # across batch sizes (observed: 8% of uint8 pixels off by one
+                # at batch 4 vs 1), and the per-seed reproducibility contract
+                # covers the PNG, not just the tokens. Decode is ~2.4 ms
+                # on-chip vs the ~75 ms sampler; padding slots are skipped.
+                imgs = [
+                    self._to_uint8(pipe._decode_clipped(tokens[i : i + 1])[0])
+                    for i in range(n)
+                ]
             # hand the (blocking) device->host fetch to a completion worker so
             # the batcher immediately collects/dispatches the NEXT batch — its
             # device work queues behind this batch's (no device idle)

@@ -195,3 +195,42 @@ def test_schedule_values_do_not_recompile(model_and_params):
         SampleConfig(steps=3, cfg=2.0),
     )
     assert S._sample_jit._cache_size() == n0 + 1
+
+
+@pytest.mark.parametrize("impl", ["threefry2x32", "rbg"])
+def test_batched_keys_per_image_determinism(model_and_params, impl):
+    """sample() with a (B,) batched key: image i is bit-identical to sampling
+    it ALONE with key i — per-image PRNG streams independent of batch
+    composition (the serving micro-batching determinism contract). rbg is the
+    case that matters in production (serve.py uses fast_key): vmapped
+    jax.random draws over rbg keys are NOT per-lane reproducible, which is
+    why per-image mode uses counter-hash draws instead."""
+    model, params = model_and_params
+    nb = 3
+    k = jax.random.PRNGKey(9)
+    cond = Conditioning(
+        byt5=jax.random.normal(k, (nb, 5, CFG.byt5_embd)),
+        clip=jax.random.normal(jax.random.fold_in(k, 1), (nb, CFG.clip_embd)),
+    )
+    uncond = Conditioning(
+        byt5=jax.random.normal(jax.random.fold_in(k, 2), (nb, 5, CFG.byt5_embd)),
+        clip=jax.random.normal(jax.random.fold_in(k, 3), (nb, CFG.clip_embd)),
+    )
+    keys = jnp.stack([jax.random.key(100 + i, impl=impl) for i in range(nb)])
+    batched = np.asarray(
+        sample(model, params, keys, cond, (nb, H, W), uncond, SAMPLE_CFG)
+    )
+
+    def slice_cond(c, i):
+        return Conditioning(byt5=c.byt5[i : i + 1], clip=c.clip[i : i + 1])
+
+    for i in range(nb):
+        solo = sample(
+            model, params, keys[i : i + 1], slice_cond(cond, i), (1, H, W),
+            slice_cond(uncond, i), SAMPLE_CFG,
+        )
+        np.testing.assert_array_equal(batched[i], np.asarray(solo)[0])
+
+    # key-count/batch mismatch is rejected
+    with pytest.raises(ValueError, match="batched key"):
+        sample(model, params, keys[:2], cond, (nb, H, W), uncond, SAMPLE_CFG)

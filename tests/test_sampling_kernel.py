@@ -91,3 +91,30 @@ def test_fused_head_distribution():
     want = np.asarray(jax.nn.softmax(logits.astype(jnp.float32) / temp))
     counts = np.bincount(np.asarray(draws), minlength=k_classes) / n
     np.testing.assert_allclose(counts, want, atol=0.03)
+
+
+def test_batched_keys_match_solo_draws():
+    """(B,) batched keys: each image's Gumbel stream is keyed by its own key
+    and image-local counter indices, so draws equal the single-image call —
+    for both the logits kernel and the fused head kernel."""
+    b, hw, k_classes, c = 3, 128, 16, 32
+    keys = jnp.stack([jax.random.PRNGKey(40 + i) for i in range(b)])
+    logits = jax.random.normal(jax.random.PRNGKey(0), (b, hw, k_classes))
+    batched = gumbel_categorical(keys, logits, 1.0, tile_m=64, interpret=True)
+    for i in range(b):
+        solo = gumbel_categorical(
+            keys[i : i + 1], logits[i : i + 1], 1.0, tile_m=64, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(batched[i]), np.asarray(solo[0]))
+
+    feat = jax.random.normal(jax.random.PRNGKey(1), (b, hw, c), jnp.float32)
+    w_out = jax.random.normal(jax.random.PRNGKey(2), (c, k_classes)) * 0.3
+    fused = fused_head_categorical(
+        keys, feat, None, 0.0, w_out, 1.0, tile_m=64, interpret=True
+    )
+    for i in range(b):
+        solo = fused_head_categorical(
+            keys[i : i + 1], feat[i : i + 1], None, 0.0, w_out, 1.0,
+            tile_m=64, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(fused[i]), np.asarray(solo[0]))

@@ -16,8 +16,7 @@ from paella_tpu.pipeline import PaellaPipeline
 from paella_tpu.serve import PaellaServer
 
 
-@pytest.fixture(scope="module")
-def server():
+def _tiny_pipeline() -> PaellaPipeline:
     t5_cfg = T5Config.tiny()
     p_cfg = dataclasses.replace(PaellaConfig.tiny(), byt5_embd=t5_cfg.d_model)
     model = Paella(p_cfg)
@@ -27,14 +26,18 @@ def server():
     t5 = T5Encoder(t5_cfg)
     ids0 = jnp.zeros((1, 8), jnp.int32)
     t5_params = t5.init(jax.random.PRNGKey(2), ids0, jnp.ones((1, 8), bool))["params"]
-    pipe = PaellaPipeline(
+    return PaellaPipeline(
         model=model,
         params=params,
         vq=vq,
         vq_vars=vq_vars,
         byt5_encode_fn=jax.jit(lambda i, m: t5.apply({"params": t5_params}, i, m)),
     )
-    srv = PaellaServer(pipe, host="127.0.0.1", port=0)
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = PaellaServer(_tiny_pipeline(), host="127.0.0.1", port=0)
     httpd = srv.start()
     yield f"http://127.0.0.1:{httpd.server_address[1]}"
     srv.stop()
@@ -93,23 +96,9 @@ def test_bad_request(server):
 @pytest.fixture(scope="module")
 def batched_server():
     """Same tiny pipeline behind a micro-batching server (max_batch=4)."""
-    t5_cfg = T5Config.tiny()
-    p_cfg = dataclasses.replace(PaellaConfig.tiny(), byt5_embd=t5_cfg.d_model)
-    model = Paella(p_cfg)
-    params = init_params(model, jax.random.PRNGKey(0), latent_hw=(16, 16))
-    vq = VQModel(VQConfig.tiny())
-    vq_vars = vq.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)))
-    t5 = T5Encoder(t5_cfg)
-    ids0 = jnp.zeros((1, 8), jnp.int32)
-    t5_params = t5.init(jax.random.PRNGKey(2), ids0, jnp.ones((1, 8), bool))["params"]
-    pipe = PaellaPipeline(
-        model=model,
-        params=params,
-        vq=vq,
-        vq_vars=vq_vars,
-        byt5_encode_fn=jax.jit(lambda i, m: t5.apply({"params": t5_params}, i, m)),
+    srv = PaellaServer(
+        _tiny_pipeline(), host="127.0.0.1", port=0, max_batch=4, batch_window_ms=200
     )
-    srv = PaellaServer(pipe, host="127.0.0.1", port=0, max_batch=4, batch_window_ms=200)
     httpd = srv.start()
     yield f"http://127.0.0.1:{httpd.server_address[1]}"
     srv.stop()
@@ -142,6 +131,50 @@ def test_batched_generate(batched_server):
         assert png[:8] == b"\x89PNG\r\n\x1a\n"
     # different seeds/prompts in one batch produce different images
     assert len({p for p in pngs[:4]}) > 1
+
+
+def test_batched_seed_determinism():
+    """The micro-batching API contract: {prompt, seed} returns the SAME image
+    whether the request ran alone (single path) or rode any micro-batch —
+    every request's seed becomes its own per-image PRNG key (sampler
+    batched-key mode), so batchmates and batch position cannot perturb it.
+    Exercises _run_batch directly (no socket timing) including a padded batch
+    (3 jobs -> power-of-two 4)."""
+    import threading
+
+    import numpy as np
+
+    from paella_tpu.serve import _Job
+
+    srv = PaellaServer(_tiny_pipeline(), max_batch=4)
+    reqs = [
+        {"prompt": "a corgi", "steps": 2, "seed": 7, "height": 64, "width": 64},
+        {"prompt": "an oil painting of a lighthouse in a storm", "steps": 2,
+         "seed": 11, "height": 64, "width": 64},
+        {"prompt": "cat", "steps": 2, "seed": 7, "height": 64, "width": 64},
+    ]
+
+    def run_batch(batch_reqs):
+        jobs = [_Job(r, threading.Event()) for r in batch_reqs]
+        srv._run_batch(jobs, (2, 8.0, 64, 64))
+        for j in jobs:
+            assert j.done.wait(600)
+            assert j.error is None, j.error
+        return [j.result for j in jobs]
+
+    batched = run_batch(reqs)  # padded to batch 4
+    singles = [srv._generate_single(r) for r in reqs]
+    for got, want in zip(batched, singles):
+        np.testing.assert_array_equal(got, want)
+
+    # a DIFFERENT batch composition (reordered, no padding slot) must return
+    # the same images for the same requests
+    reorder = [reqs[2], reqs[0], reqs[1], reqs[1]]
+    re_batched = run_batch(reorder)
+    np.testing.assert_array_equal(re_batched[0], singles[2])
+    np.testing.assert_array_equal(re_batched[1], singles[0])
+    np.testing.assert_array_equal(re_batched[2], singles[1])
+    np.testing.assert_array_equal(re_batched[3], singles[1])
 
 
 def test_batch_key_grouping():

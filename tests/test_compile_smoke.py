@@ -3,6 +3,7 @@ compiles under fsdp=8 on the virtual mesh with abstract (never materialized)
 arrays — catching sharding-spec regressions at the geometry that matters
 without paying for real 1B arrays. ~70 s of XLA CPU compile; runs once.
 """
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -14,6 +15,7 @@ from paella_tpu.parallel.mesh import param_shardings
 from paella_tpu.train import Batch, NullCond, create_train_state, make_train_step
 
 
+@pytest.mark.slow
 def test_1b_fsdp8_train_step_compiles():
     p_cfg = PaellaConfig.v1_byt5_xl()
     v_cfg = VQConfig()

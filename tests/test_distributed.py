@@ -21,6 +21,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.slow
 def test_two_process_initialize_and_allreduce():
     # no pytest-timeout in this image; the communicate(timeout=240) below bounds it
     coordinator = f"127.0.0.1:{_free_port()}"
@@ -58,6 +59,7 @@ def test_two_process_initialize_and_allreduce():
         assert "WORKER_OK" in out, f"worker {i} output:\n{out}"
 
 
+@pytest.mark.slow
 def test_two_process_disjoint_data_streams(tmp_path):
     """WebDatasetLoader's default shard_offset/stride resolve to
     jax.process_index()/process_count(): two hosts over the same shard list
@@ -120,6 +122,7 @@ def test_two_process_disjoint_data_streams(tmp_path):
 TRAIN_WORKER = os.path.join(os.path.dirname(__file__), "_train_step_worker.py")
 
 
+@pytest.mark.slow
 def test_two_process_train_step_matches_single_process():
     """The REAL pjit train step over a GLOBAL dp x fsdp mesh spanning two OS
     processes (GSPMD gradient collectives over gloo — the pod execution model)

@@ -123,6 +123,7 @@ def test_checkpoint_roundtrip_bf16_moments(tmp_path):
     assert int(restored.step) == 1
 
 
+@pytest.mark.slow
 def test_graceful_preemption_saves_and_resumes(tmp_path):
     """SIGTERM mid-run (the managed-pool preemption contract): the loop
     finishes the in-flight step, force-saves a checkpoint, and returns; a

@@ -140,6 +140,7 @@ def test_optimize_layout_noop_on_tiny(pipe):
     assert pipe.optimize_layout() is pipe
 
 
+@pytest.mark.slow
 def test_optimize_layout_bit_exact():
     """pipeline.optimize_layout applies the split-skip layout atomically
     (config flag + transformed params) and generation is BIT-exact."""

@@ -8,6 +8,7 @@ layer semantics misread the reference topology, logits diverge here.
 """
 import dataclasses
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -311,6 +312,7 @@ def test_vqgan_encode_matches_torch():
     assert match > 0.99, f"index agreement only {match:.3f}"
 
 
+@pytest.mark.slow
 def test_denoiser_full_forward_matches_torch_1B():
     """Flagship-geometry conversion rehearsal (round-2 VERDICT #1b): the FULL
     1B layout (blocks (6,16,6), c_hidden (640,1280,1280), byt5_embd 2560 —

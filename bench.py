@@ -127,6 +127,41 @@ def main():
     s_times.sort()
     s_p50 = s_times[len(s_times) // 2]
 
+    # Reference-DEFAULT step count (steps=12, src_distributed/utils.py:97) and
+    # batch-8 sampling throughput: recorded as JSON fields (not the headline)
+    # so every round's driver artifact captures them — round-3 VERDICT item 9.
+    # Sampling-only timing (token fetch), the tunnel-stable form; warmup first
+    # (first-after-compile readings are unreliable, working notes).
+    s12_cfg = dataclasses.replace(s_cfg, steps=12)
+    np.asarray(sample(model, params, rbg_key(200), cond, LATENT, uncond, s12_cfg))
+    t12 = []
+    for i in range(6):
+        t0 = time.perf_counter()
+        np.asarray(sample(model, params, rbg_key(201 + i), cond, LATENT, uncond, s12_cfg))
+        t12.append(time.perf_counter() - t0)
+    t12.sort()
+
+    b8 = 8
+    k8 = jax.random.PRNGKey(3)
+    cond8 = Conditioning(
+        byt5=jax.random.normal(k8, (b8, BYT5_LEN, p_cfg.byt5_embd), jnp.bfloat16),
+        clip=jax.random.normal(k8, (b8, p_cfg.clip_embd), jnp.bfloat16),
+        clip_image=jax.random.normal(k8, (b8, p_cfg.clip_embd), jnp.bfloat16),
+    )
+    uncond8 = Conditioning(
+        byt5=jax.random.normal(k8, (b8, 2, p_cfg.byt5_embd), jnp.bfloat16),
+        clip=jax.random.normal(k8, (b8, p_cfg.clip_embd), jnp.bfloat16),
+        clip_image=None,
+    )
+    latent8 = (b8, 64, 64)
+    np.asarray(sample(model, params, rbg_key(300), cond8, latent8, uncond8, s_cfg))
+    t8 = []
+    for i in range(6):
+        t0 = time.perf_counter()
+        np.asarray(sample(model, params, rbg_key(301 + i), cond8, latent8, uncond8, s_cfg))
+        t8.append(time.perf_counter() - t0)
+    t8.sort()
+
     print(
         json.dumps(
             {
@@ -141,6 +176,9 @@ def main():
                 "sampling_only_p50_ms": round(s_p50 * 1000, 2),
                 "sampling_only_p10_ms": round(s_times[1] * 1000, 2),
                 "sampling_only_p90_ms": round(s_times[-2] * 1000, 2),
+                "steps12_sampling_p50_ms": round(t12[len(t12) // 2] * 1000, 2),
+                "batch8_sampling_p50_ms": round(t8[len(t8) // 2] * 1000, 2),
+                "batch8_images_per_sec": round(b8 / t8[len(t8) // 2], 2),
                 "device": str(jax.devices()[0]),
             }
         )

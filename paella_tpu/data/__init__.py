@@ -20,6 +20,6 @@ __all__ = [
     "write_tar_shard",
 ]
 
-from .prefetch import prefetch_to_device  # noqa: E402
+from .prefetch import background_iterator, prefetch_to_device  # noqa: E402
 
-__all__.append("prefetch_to_device")
+__all__ += ["background_iterator", "prefetch_to_device"]

@@ -40,3 +40,41 @@ def prefetch_to_device(
             yield queue.popleft()
     while queue:
         yield queue.popleft()
+
+
+def background_iterator(iterator: Iterator, depth: int = 2) -> Iterator:
+    """Run `iterator` in a daemon thread with a bounded queue of `depth` items.
+
+    Host-side decode/encode work (tar IO, JPEG decode, tokenization) overlaps
+    the device step this way: the producer thread fills the queue while the
+    main thread blocks inside jax fetches (which release the GIL, and the
+    native decode kernels release it too). This is the role torch DataLoader
+    workers play for the reference (src_distributed/utils.py:62) without
+    fork-based worker processes.
+
+    Exceptions in the producer re-raise in the consumer; the thread is a
+    daemon, so an abandoned iterator cannot hang interpreter shutdown.
+    """
+    import queue as _queue
+    import threading
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=max(1, depth))
+    _END = object()
+
+    def produce():
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as e:  # re-raised on the consumer side
+            q.put((_END, e))
+            return
+        q.put((_END, None))
+
+    threading.Thread(target=produce, daemon=True).start()
+    while True:
+        item = q.get()
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is _END:
+            if item[1] is not None:
+                raise item[1]
+            return
+        yield item

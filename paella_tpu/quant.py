@@ -209,6 +209,41 @@ def w8a8_quality_proxy(
         return run()
 
 
+def inject_weight_outliers(
+    params, key: Array, frac: float = 0.02, scale: float = 12.0
+):
+    """Outlier-channel stress for the quality proxies (round-3 VERDICT: random
+    init lacks the heavy-tailed channels trained transformers develop, so
+    int8 proxies on fresh weights are systematically optimistic).
+
+    Scales a random `frac` of each >=2-D float kernel's REDUCTION-axis
+    channels by `scale`: per-output-channel weight quantization now faces
+    heavy in-row tails, and the amplified activations flowing into the next
+    layer stress the dynamic per-row activation quantization the same way
+    real outlier features do (the LLM.int8() failure mode). The float-vs-int8
+    comparison stays internally valid — both paths see the SAME perturbed
+    weights. Norm scales, biases and embeddings are left untouched."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params, sep="/")
+    out = {}
+    for i, (name, v) in enumerate(sorted(flat.items())):
+        if (
+            name.split("/")[-1] == "kernel"
+            and v.ndim >= 2
+            and jnp.issubdtype(v.dtype, jnp.floating)
+        ):
+            axis = v.ndim - 2  # reduction (input-feature) axis of dense/conv
+            k = jax.random.fold_in(key, i)
+            m = jax.random.bernoulli(k, frac, (v.shape[axis],))
+            s = jnp.where(m, jnp.asarray(scale, v.dtype), jnp.asarray(1.0, v.dtype))
+            v = v * jnp.expand_dims(
+                s, tuple(a for a in range(v.ndim) if a != axis)
+            )
+        out[name] = v
+    return flax.traverse_util.unflatten_dict(out, sep="/")
+
+
 # documented gate thresholds (docs/quantization.md): proxy PASS means "enable
 # act_quant once real-checkpoint FID confirms"; it never flips the default alone
 W8A8_PROXY_MAX_KL = 0.05  # nats/token

@@ -206,6 +206,47 @@ def run_training(
     return state
 
 
+# Cached jits for the eval collage: eager flax `.apply` is fine on local CPU
+# but on a tunneled TPU backend every primitive is a host round-trip — a single
+# eager 280M forward is thousands of dispatches (minutes). Keyed by object id:
+# the model/codec instances live for the whole run.
+_EVAL_JIT_CACHE: dict = {}
+
+
+def _eval_jit(tag, model, vq, make):
+    key = (tag, id(model), id(vq))
+    if key not in _EVAL_JIT_CACHE:
+        _EVAL_JIT_CACHE[key] = make()
+    return _EVAL_JIT_CACHE[key]
+
+
+def _make_diag_fn(model, vq):
+    """One jit for the diagnostic rows: codec encode -> noise -> single forward
+    -> soft-argmax re-quantize -> decode noised + reconstructed images."""
+    from ..codec.quantize import codebook_lookup
+    from ..models.noise import add_noise
+
+    @jax.jit
+    def diag(params, vq_vars, images, byt5, clip, clip_image, byt5_mask, key):
+        b = images.shape[0]
+        k_t, k_noise = jax.random.split(key)
+        latents = vq.apply(vq_vars, images, method=VQModel.encode)[2]
+        t = jnp.clip(1.0 - jax.random.uniform(k_t, (b,)) + 0.001, 0.001, 1.0)
+        noised, _ = add_noise(k_noise, latents, t, model.config.num_labels)
+        logits = model.apply(
+            {"params": params}, noised, t, byt5, clip, clip_image,
+            byt5_mask=byt5_mask, deterministic=True,
+        )
+        codebook = vq_vars["params"]["vquantizer"]["codebook"]
+        soft = jax.nn.softmax(logits.astype(jnp.float32) / 0.1, axis=-1) @ codebook
+        pred_tokens = codebook_lookup(soft, codebook)
+        noised_img = vq.apply(vq_vars, noised, method=VQModel.decode_indices)
+        pred_img = vq.apply(vq_vars, pred_tokens, method=VQModel.decode_indices)
+        return noised_img, pred_img
+
+    return diag
+
+
 def _eval_grid(
     model, params, vq, vq_vars, encode_batch, driver_cfg, step, workdir,
     images=None, captions=None, logger=None,
@@ -220,7 +261,6 @@ def _eval_grid(
     batch's noised latents against the NEW eval batch's embeddings (a latent
     mismatch); here all rows use the same eval batch.
     """
-    from ..models.noise import add_noise
     from ..utils.logging import save_image_grid
 
     if images is None:
@@ -248,10 +288,13 @@ def _eval_grid(
     s_cfg = SampleConfig(steps=driver_cfg.eval_steps)
     key = jax.random.PRNGKey(step)
 
+    decode = _eval_jit(
+        "decode", model, vq,
+        lambda: jax.jit(lambda v, tok: vq.apply(v, tok, method=VQModel.decode_indices)),
+    )
     rows, names = [], []
     table = {}
     if with_diag_rows:
-        k_t, k_noise = jax.random.split(jax.random.fold_in(key, 1))
         # originals + noised + argmax-reconstruction (the cheapest training
         # sanity signal: one forward, soft-argmax through the codebook and
         # decode). DELIBERATE delta from the reference: src_distributed/
@@ -259,32 +302,21 @@ def _eval_grid(
         # softmax @ codebook then nearest-neighbor re-quantize — visually
         # smoother early in training, converges to the same picture as logits
         # sharpen. Diagnostics-only; no training/sampling math depends on it.
-        latents = vq.apply(vq_vars, jnp.asarray(images), method=VQModel.encode)[2]
-        t = jnp.clip(1.0 - jax.random.uniform(k_t, (b,)) + 0.001, 0.001, 1.0)
-        noised, _ = add_noise(k_noise, latents, t, model.config.num_labels)
-        logits = model.apply(
-            {"params": params}, noised, t, batch.byt5, batch.clip, batch.clip_image,
-            byt5_mask=batch.byt5_mask, deterministic=True,
+        diag = _eval_jit("diag", model, vq, lambda: _make_diag_fn(model, vq))
+        noised_img, pred_img = diag(
+            params, vq_vars, jnp.asarray(images), batch.byt5, batch.clip,
+            batch.clip_image, batch.byt5_mask, jax.random.fold_in(key, 1),
         )
-        codebook = vq_vars["params"]["vquantizer"]["codebook"]
-        soft = jax.nn.softmax(logits.astype(jnp.float32) / 0.1, axis=-1) @ codebook
-        from ..codec.quantize import codebook_lookup
-
-        pred_tokens = codebook_lookup(soft, codebook)
-        noised_img = vq.apply(vq_vars, noised, method=VQModel.decode_indices)
-        pred_img = vq.apply(vq_vars, pred_tokens, method=VQModel.decode_indices)
         rows += [np.asarray(images), np.asarray(noised_img), np.asarray(pred_img)]
         names += ["orig", "noised", "reconstructed"]
 
     tokens = sample(model, params, key, cond, latent, uncond, s_cfg)
-    sampled = np.asarray(vq.apply(vq_vars, tokens, method=VQModel.decode_indices))
+    sampled = np.asarray(decode(vq_vars, tokens))
     rows.append(sampled)
     names.append("sampled")
     if with_diag_rows:
         tokens_noimg = sample(model, params, key, cond_noimg, latent, uncond, s_cfg)
-        sampled_noimg = np.asarray(
-            vq.apply(vq_vars, tokens_noimg, method=VQModel.decode_indices)
-        )
+        sampled_noimg = np.asarray(decode(vq_vars, tokens_noimg))
         rows.append(sampled_noimg)
         names.append("sampled_noimg")
         table = {"Sampled": sampled, "Sampled NoImg": sampled_noimg, "Orig": rows[0]}

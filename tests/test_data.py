@@ -183,3 +183,27 @@ def test_no_shards_for_host_raises():
     )
     with pytest.raises(ValueError, match="no shards"):
         next(iter(loader))
+
+
+def test_background_iterator():
+    from paella_tpu.data import background_iterator
+
+    out = list(background_iterator(iter(range(20)), depth=3))
+    assert out == list(range(20))
+
+    # tuple items pass through untouched (the (images, captions) case)
+    items = [(np.ones((2, 2)), ["a", "b"]), (np.zeros((2, 2)), ["c"])]
+    got = list(background_iterator(iter(items), depth=2))
+    assert len(got) == 2 and got[0][1] == ["a", "b"]
+
+    # producer exceptions re-raise on the consumer side
+    def boom():
+        yield 1
+        raise RuntimeError("producer died")
+
+    it = background_iterator(boom(), depth=2)
+    assert next(it) == 1
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="producer died"):
+        list(it)

@@ -318,3 +318,28 @@ def test_t5_w8a8_downstream_proxy():
             dataclasses.replace(cfg, byt5_embd=t5_cfg.d_model + 1), params,
             jax.random.PRNGKey(3),
         )
+
+
+def test_inject_weight_outliers():
+    """Outlier stress perturbs only >=2-D float 'kernel' leaves, scaling a
+    subset of reduction-axis channels by exactly `scale`."""
+    from paella_tpu.quant import inject_weight_outliers
+
+    params = {
+        "dense": {"kernel": jnp.ones((64, 8)), "bias": jnp.zeros((8,))},
+        "conv": {"kernel": jnp.ones((3, 3, 32, 8))},
+        "norm": {"scale": jnp.ones((8,))},
+        "codes": {"kernel": jnp.zeros((16,), jnp.int32)},  # non-float / 1-D
+    }
+    out = inject_weight_outliers(params, jax.random.PRNGKey(0), frac=0.25, scale=7.0)
+    assert jax.tree_util.tree_structure(out) == jax.tree_util.tree_structure(params)
+    np.testing.assert_array_equal(out["dense"]["bias"], params["dense"]["bias"])
+    np.testing.assert_array_equal(out["norm"]["scale"], params["norm"]["scale"])
+    np.testing.assert_array_equal(out["codes"]["kernel"], params["codes"]["kernel"])
+    d = np.asarray(out["dense"]["kernel"])
+    rows = d.mean(axis=1)  # per reduction-axis channel
+    assert set(np.unique(np.round(rows, 4))) <= {1.0, 7.0}
+    assert (rows == 7.0).any() and (rows == 1.0).any()
+    c = np.asarray(out["conv"]["kernel"])  # axis -2 = input channels
+    ch = c.mean(axis=(0, 1, 3))
+    assert set(np.unique(np.round(ch, 4))) <= {1.0, 7.0} and (ch == 7.0).any()

@@ -193,7 +193,11 @@ def run_training(
                 break
 
             if step % driver_cfg.eval_every == 0 or step == driver_cfg.total_steps:
-                ckpt.save(step, state)
+                # force at total_steps: Orbax's save_interval gate otherwise
+                # silently skips the FINAL checkpoint whenever total_steps
+                # isn't a multiple of eval_every (observed on the real-chip
+                # 500-step run: last save rotated out at 450)
+                ckpt.save(step, state, force=(step == driver_cfg.total_steps))
                 if sample_eval:
                     eval_images, eval_captions = next(data_iter)
                     _eval_grid(

@@ -178,20 +178,28 @@ def build_encoders(args, jax, jnp):
     )
     print(f"[encoders] clip text+vision params={n_clip/1e6:.0f}M", flush=True)
 
-    # encode jits: params as CLOSURES (the serving-dispatch form, cond/loader.py)
-    @jax.jit
-    def byt5_encode(ids, mask):
-        return t5.apply({"params": t5_params}, ids, mask)
-
-    @jax.jit
-    def clip_text_encode(ids):
-        return tm.apply({"params": txt_params}, ids)
-
-    @jax.jit
-    def clip_image_encode(images):
-        return vm.apply(
-            {"params": vis_params}, clip_preprocess(images, vis_cfg.image_size)
+    # encode jits: params as ARGS, not closures. Closure-jitting the XL tree
+    # captures 5.23 GB of device arrays as HLO constants, and the tunneled
+    # remote-compile service dies on that program (observed: 45 min then
+    # "Broken pipe" at 127.0.0.1:8093/remote_compile). Arg-form keeps the HLO
+    # small; per-call cost is only the buffer-handle marshal (~7 ms measured
+    # on the 1B tree — noise at training's ~125 ms/step cadence).
+    _byt5_fn = jax.jit(lambda p, ids, mask: t5.apply({"params": p}, ids, mask))
+    _clip_txt_fn = jax.jit(lambda p, ids: tm.apply({"params": p}, ids))
+    _clip_img_fn = jax.jit(
+        lambda p, images: vm.apply(
+            {"params": p}, clip_preprocess(images, vis_cfg.image_size)
         )
+    )
+
+    def byt5_encode(ids, mask):
+        return _byt5_fn(t5_params, ids, mask)
+
+    def clip_text_encode(ids):
+        return _clip_txt_fn(txt_params, ids)
+
+    def clip_image_encode(images):
+        return _clip_img_fn(vis_params, images)
 
     # stand-in CLIP tokenizer: the real byte-BPE needs the public merge-table
     # file (cond/tokenizers.py::CLIPTokenizer) which zero-egress CI cannot

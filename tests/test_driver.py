@@ -40,7 +40,10 @@ def test_driver_runs_and_resumes(tmp_path):
     )
     assert int(state.step) == 3
     assert os.path.exists(tmp_path / "run" / "metrics.jsonl")
-    assert len(glob.glob(str(tmp_path / "run" / "checkpoints" / "*"))) >= 1
+    # the FINAL checkpoint must exist even though total_steps (3) is not a
+    # multiple of eval_every (2) — Orbax's save_interval gate would silently
+    # skip it without force= (bug observed on the real-chip 500-step run)
+    assert os.path.isdir(tmp_path / "run" / "checkpoints" / "3")
 
     # resume: a fresh call continues from the last checkpoint, not step 0
     d_cfg2 = DriverConfig(**{**d_cfg.__dict__, "total_steps": 5})
@@ -49,6 +52,7 @@ def test_driver_runs_and_resumes(tmp_path):
         model, vq, vq_vars, data2, encode, null, t_cfg, d_cfg2, sample_eval=False
     )
     assert int(state2.step) == 5
+    assert os.path.isdir(tmp_path / "run" / "checkpoints" / "5")
 
 
 def test_eval_grid_collage(tmp_path):

@@ -180,11 +180,17 @@ def w8a8_quality_proxy(
     byt5 = jax.random.normal(k_b, (batch, byt5_len, base.byt5_embd), base.compute_dtype)
     clip = jax.random.normal(k_c, (batch, base.clip_embd), base.compute_dtype)
 
+    # params travel as jit ARGUMENTS, never closure captures: captured trees
+    # become HLO constants and a full-size param tree of them kills the
+    # remote-compile service (the run_driver_e2e ByT5 lesson, observed again
+    # on this proxy at the 209M trained geometry). Args also make the program
+    # identical across weight arms, so trained/random/outlier-stressed runs
+    # share one compile-cache entry.
     @jax.jit
-    def compare(t):
+    def compare(p, qp, t):
         tb = jnp.full((batch,), t, jnp.float32)
-        ref = m_bf16.apply({"params": params}, x, tb, byt5, clip).astype(jnp.float32)
-        got = m_w8a8.apply({"params": qparams}, x, tb, byt5, clip).astype(jnp.float32)
+        ref = m_bf16.apply({"params": p}, x, tb, byt5, clip).astype(jnp.float32)
+        got = m_w8a8.apply({"params": qp}, x, tb, byt5, clip).astype(jnp.float32)
         lp_ref = jax.nn.log_softmax(ref, axis=-1)
         lp_got = jax.nn.log_softmax(got, axis=-1)
         kl = jnp.sum(jnp.exp(lp_ref) * (lp_ref - lp_got), axis=-1).mean()
@@ -195,7 +201,7 @@ def w8a8_quality_proxy(
     def run():
         rows = []
         for t in t_values:
-            kl, flip, rel = compare(jnp.float32(t))
+            kl, flip, rel = compare(params, qparams, jnp.float32(t))
             rows.append(
                 {"t": float(t), "kl": float(kl), "flip": float(flip), "rel": float(rel)}
             )
@@ -312,14 +318,16 @@ def t5_w8a8_quality_proxy(
     mask = jnp.ones((batch, byt5_len), bool)
     clip = jax.random.normal(k_c, (batch, base.clip_embd), base.compute_dtype)
 
+    # params as jit ARGS, not closure captures — see w8a8_quality_proxy: a
+    # captured XL-size tree as HLO constants kills the remote-compile service.
     @jax.jit
-    def compare(t):
-        byt5_f = enc_f.apply({"params": t5_params}, ids, mask)
-        byt5_q = enc_q.apply({"params": qt5}, ids, mask)
+    def compare(t5p, qt5p, p, t):
+        byt5_f = enc_f.apply({"params": t5p}, ids, mask)
+        byt5_q = enc_q.apply({"params": qt5p}, ids, mask)
         tb = jnp.full((batch,), t, jnp.float32)
         dt = base.compute_dtype
-        ref = model.apply({"params": params}, x, tb, byt5_f.astype(dt), clip)
-        got = model.apply({"params": params}, x, tb, byt5_q.astype(dt), clip)
+        ref = model.apply({"params": p}, x, tb, byt5_f.astype(dt), clip)
+        got = model.apply({"params": p}, x, tb, byt5_q.astype(dt), clip)
         ref, got = ref.astype(jnp.float32), got.astype(jnp.float32)
         lp_ref = jax.nn.log_softmax(ref, axis=-1)
         lp_got = jax.nn.log_softmax(got, axis=-1)
@@ -330,7 +338,7 @@ def t5_w8a8_quality_proxy(
 
     rows = []
     for t in t_values:
-        kl, flip, rel = compare(jnp.float32(t))
+        kl, flip, rel = compare(t5_params, qt5, params, jnp.float32(t))
         rows.append(
             {"t": float(t), "kl": float(kl), "flip": float(flip), "rel": float(rel)}
         )

@@ -153,16 +153,31 @@ def w8a8_proxy_demo(ckpt: str | None):
     return ok
 
 
-def byt5_w8a8_proxy_demo():
+def byt5_w8a8_proxy_demo(stress: bool = False, geometry: str = "tiny"):
     """Downstream proxy for the ByT5 act_quant flag on synthetic weights:
-    float vs W8A8 text encode -> SAME denoiser -> logits drift table."""
-    jax.config.update("jax_platforms", "cpu")
+    float vs W8A8 text encode -> SAME denoiser -> logits drift table.
+
+    --stress adds an outlier-injected arm (quant.inject_weight_outliers on the
+    T5 tree: 2% of reduction-axis channels scaled 12x, the LLM.int8() failure
+    mode). The encoder is FROZEN in training (src_distributed/train.py — only
+    the denoiser gets gradients), so unlike the denoiser proxy there are no
+    "trained" ByT5 weights to re-gate on: the checkpoint-day weights ARE
+    pretrained HF weights with real outlier channels, and the stress arm is
+    the rehearsable adversarial bound for them. --geometry small runs at
+    byt5_small_like (1472-wide, 12 layers) — big enough for channel statistics
+    to mean something; runs on the TPU when available."""
+    if geometry == "tiny":
+        jax.config.update("jax_platforms", "cpu")
     from paella_tpu.config import PaellaConfig
     from paella_tpu.cond import T5Config, T5Encoder
     from paella_tpu.models import Paella, init_params
-    from paella_tpu.quant import t5_w8a8_quality_proxy, w8a8_proxy_verdict
+    from paella_tpu.quant import (
+        inject_weight_outliers,
+        t5_w8a8_quality_proxy,
+        w8a8_proxy_verdict,
+    )
 
-    t5_cfg = T5Config.tiny()
+    t5_cfg = T5Config.tiny() if geometry == "tiny" else T5Config.byt5_small_like()
     cfg = dataclasses.replace(PaellaConfig.tiny(), byt5_embd=t5_cfg.d_model)
     params = init_params(Paella(cfg), jax.random.PRNGKey(0), latent_hw=(16, 16))
     # zero-init head would make the logits comparison vacuous
@@ -174,15 +189,29 @@ def byt5_w8a8_proxy_demo():
     )
     t5 = T5Encoder(t5_cfg)
     ids = jnp.zeros((1, 5), jnp.int32)
-    t5_params = t5.init(jax.random.PRNGKey(2), ids, jnp.ones((1, 5), bool))["params"]
+    # jitted init: unjitted flax init on the tunneled TPU is thousands of
+    # eager round-trips (CLAUDE.md)
+    t5_params = jax.jit(t5.init)(jax.random.PRNGKey(2), ids, jnp.ones((1, 5), bool))[
+        "params"
+    ]
 
-    rows = t5_w8a8_quality_proxy(t5_cfg, t5_params, cfg, params, jax.random.PRNGKey(3))
-    print(f"{'t':>5}  {'KL nats/tok':>12}  {'argmax flip':>12}  {'rel |dlogit|':>12}")
-    for r in rows:
-        print(f"{r['t']:5.2f}  {r['kl']:12.5f}  {r['flip']:12.3%}  {r['rel']:12.4f}")
-    ok, msg = w8a8_proxy_verdict(rows)
-    print("byt5 act_quant:", msg)
-    return ok
+    arms = {"synthetic": t5_params}
+    if stress:
+        arms["synthetic_outliers"] = inject_weight_outliers(
+            t5_params, jax.random.PRNGKey(4)
+        )
+
+    ok_all = True
+    for name, arm_params in arms.items():
+        rows = t5_w8a8_quality_proxy(t5_cfg, arm_params, cfg, params, jax.random.PRNGKey(3))
+        print(f"\n== {name} ({geometry}) ==")
+        print(f"{'t':>5}  {'KL nats/tok':>12}  {'argmax flip':>12}  {'rel |dlogit|':>12}")
+        for r in rows:
+            print(f"{r['t']:5.2f}  {r['kl']:12.5f}  {r['flip']:12.3%}  {r['rel']:12.4f}")
+        ok, msg = w8a8_proxy_verdict(rows)
+        ok_all = ok_all and ok
+        print("byt5 act_quant:", msg)
+    return ok_all
 
 
 if __name__ == "__main__":
@@ -196,9 +225,17 @@ if __name__ == "__main__":
         "--byt5-w8a8-proxy", action="store_true",
         help="print the ByT5 act_quant downstream quality-proxy table",
     )
+    ap.add_argument(
+        "--stress", action="store_true",
+        help="add an outlier-injected arm to the ByT5 proxy",
+    )
+    ap.add_argument(
+        "--geometry", default="tiny", choices=("tiny", "small"),
+        help="ByT5 proxy geometry: tiny (CPU) or byt5_small_like (TPU-sized)",
+    )
     args, _ = ap.parse_known_args()
     if args.byt5_w8a8_proxy:
-        byt5_w8a8_proxy_demo()
+        byt5_w8a8_proxy_demo(stress=args.stress, geometry=args.geometry)
     elif args.w8a8_proxy:
         w8a8_proxy_demo(args.ckpt)
     elif args.ckpt is None:

@@ -319,6 +319,21 @@ def test_t5_w8a8_downstream_proxy():
             jax.random.PRNGKey(3),
         )
 
+    # the stress arm (eval_quality --stress): inject_weight_outliers composes
+    # with a REAL T5 tree — the frozen encoder's rehearsable adversarial bound
+    # (pretrained HF weights have outlier channels synthetic init lacks)
+    from paella_tpu.quant import inject_weight_outliers
+
+    stressed = inject_weight_outliers(t5_params, jax.random.PRNGKey(4), frac=0.5)
+    assert jax.tree_util.tree_structure(stressed) == jax.tree_util.tree_structure(
+        t5_params
+    )
+    srows = t5_w8a8_quality_proxy(
+        t5_cfg, stressed, cfg, params, jax.random.PRNGKey(3),
+        t_values=(0.9,), latent_hw=(8, 8),
+    )
+    assert np.isfinite(srows[0]["kl"]) and np.isfinite(srows[0]["rel"])
+
 
 def test_inject_weight_outliers():
     """Outlier stress perturbs only >=2-D float 'kernel' leaves, scaling a

@@ -229,6 +229,18 @@ def build_encoders(args, jax, jnp):
             clip_image=clip_image_encode(imgs),
         )
 
+    def encode_text(captions):
+        """Text-only conditioning (byt5 states, byt5 mask, clip text embd) —
+        the generation-time subset of encode_batch (scripts/run_eval_e2e.py)."""
+        ids, mask = byt5_batch_encode(list(captions), pad_to=byt5_bucket)
+        return (
+            byt5_encode(jnp.asarray(ids), jnp.asarray(mask)),
+            jnp.asarray(mask),
+            clip_text_encode(jnp.asarray(clip_tokenize(list(captions)))),
+        )
+
+    encode_batch.encode_text = encode_text
+
     # null conditioning = the frozen encoders' empty-string outputs
     # (reference recomputes per batch, src_distributed/train.py:79-91)
     nid, nmask = byt5_batch_encode([""], pad_to=byt5_bucket)

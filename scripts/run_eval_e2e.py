@@ -1,0 +1,245 @@
+"""Classic-FID eval pipeline executed end-to-end on the real chip.
+
+The parity half of the north star — FID vs the released checkpoints
+(reference: readme.md:6) — is environmentally blocked: this box has zero
+network egress, so neither the Paella weights nor the standard
+`pt_inception-2015-12-05` featurizer can exist here. What IS rehearsable is
+the full eval pipeline at production geometry, which this script executes on
+the v5e:
+
+    restore the production-driver run's trained denoiser checkpoint
+    -> frozen ByT5-XL + CLIP ViT-H text conditioning (synthetic weights at
+       the real geometry, same construction as scripts/run_driver_e2e.py)
+    -> production sampler (single-jit lax.scan, batched CFG, 8 steps)
+    -> f4 VQGAN decode_indices -> uint8 images
+    -> classic InceptionV3 pool3 features (eval/inception.py, "fid" variant)
+       over the generated set AND over real images streamed from the run's
+       own WebDataset tar shards
+    -> host-float64 Frechet distance (eval/metrics.py)
+
+The featurizer weights are synthetic (tests/test_inception.py's state-dict
+builder), so THE FID VALUE IS MEANINGLESS as a quality claim — the artifact
+is that every checkpoint-day eval code path executes together on hardware;
+FID day is a weight swap (load_inception(path) instead of the synthetic
+tree). Reference eval surface: readme.md:6 FID table; sampling defaults
+src_distributed/utils.py:97-126.
+
+    python scripts/run_eval_e2e.py --workdir runs/driver_e2e --n 256
+
+Writes <workdir>/eval_fid.json and prints it.
+"""
+from __future__ import annotations
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+
+import argparse
+import dataclasses
+import importlib.util
+import json
+import os
+import time
+import types
+
+import numpy as np
+
+
+def _load_synth_inception():
+    """tests/test_inception.py's synthetic torch-layout state dict builder —
+    the zero-egress stand-in for pt_inception-2015-12-05."""
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "test_inception.py",
+    )
+    spec = importlib.util.spec_from_file_location("_ti", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.synth_inception_state_dict
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="runs/driver_e2e")
+    ap.add_argument("--n", type=int, default=256, help="images per set")
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--image", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--byt5-bucket", type=int, default=64)
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny geometry on CPU, synthetic denoiser (CI path)")
+    args = ap.parse_args()
+    if args.smoke:
+        args.n, args.batch, args.image, args.byt5_bucket = 8, 4, 64, 16
+    assert args.n % args.batch == 0, "n must be a multiple of batch"
+
+    import jax
+
+    if args.smoke:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import run_driver_e2e as drv
+    from paella_tpu.codec import VQModel
+    from paella_tpu.config import PaellaConfig, SampleConfig, TrainConfig, VQConfig
+    from paella_tpu.data import SampleFilter, WebDatasetLoader
+    from paella_tpu.eval import (
+        convert_inception,
+        features_over_batches,
+        fid_from_features,
+        inception_features,
+    )
+    from paella_tpu.models import Paella, init_params
+    from paella_tpu.sampling import Conditioning, fast_key, sample
+    from paella_tpu.train import create_train_state
+    from paella_tpu.train.checkpoints import CheckpointManager
+
+    dev = jax.devices()[0]
+    print(f"[eval] device: {dev}", flush=True)
+
+    # --- models at the production-driver run's exact geometry -------------
+    if args.smoke:
+        p_cfg = dataclasses.replace(
+            PaellaConfig.tiny(), byt5_embd=32, clip_embd=24, dtype="bfloat16"
+        )
+        vq_cfg = VQConfig.tiny()
+    else:
+        p_cfg = dataclasses.replace(
+            PaellaConfig.v1_byt5_xl(),
+            c_hidden=(320, 640, 640),
+            nhead=(-1, 8, 8),
+            blocks=(4, 12, 4),
+            dtype="bfloat16",
+        )
+        vq_cfg = dataclasses.replace(VQConfig(), dtype="bfloat16")
+    model = Paella(p_cfg)
+    vq = VQModel(vq_cfg)
+    vq_vars = jax.jit(vq.init)(
+        jax.random.PRNGKey(1), jnp.zeros((1, args.image, args.image, 3))
+    )
+    hw = args.image // vq_cfg.downscale
+
+    init = init_params(model, jax.random.PRNGKey(0), latent_hw=(hw, hw))
+    if args.smoke:
+        # synthetic denoiser, perturbed so the zero-init head isn't degenerate
+        leaves, treedef = jax.tree_util.tree_flatten(init)
+        keys = jax.random.split(jax.random.PRNGKey(5), len(leaves))
+        params = jax.tree_util.tree_unflatten(
+            treedef,
+            [l + 0.02 * jax.random.normal(k, l.shape, l.dtype) for l, k in zip(leaves, keys)],
+        )
+        step = 0
+    else:
+        template = create_train_state(
+            init, TrainConfig(warmup_updates=100, batch_size=args.batch)
+        )
+        restored, _ = CheckpointManager(
+            os.path.join(args.workdir, "checkpoints")
+        ).restore(template)
+        if restored is None:
+            raise SystemExit(f"no checkpoint under {args.workdir} — run run_driver_e2e.py first")
+        params = restored.params
+        step = int(restored.step)
+        del template, restored
+        print(f"[eval] restored step-{step} denoiser", flush=True)
+    del init
+
+    # --- frozen conditioning encoders (identical build to the driver run) -
+    enc_args = types.SimpleNamespace(smoke=args.smoke, byt5="bf16", byt5_bucket=args.byt5_bucket)
+    encode_batch, null, byt5_embd, clip_embd = drv.build_encoders(enc_args, jax, jnp)
+    encode_text = encode_batch.encode_text
+    assert byt5_embd == p_cfg.byt5_embd and clip_embd == p_cfg.clip_embd
+
+    # text-only conditioning for generation (the collage's cond_noimg form,
+    # train/driver.py:285): byt5 states + CLIP text embedding, no clip_image
+    prompts = [
+        f"{s} a {o}"
+        for s in drv.CAPTION_STYLES
+        for o in drv.CAPTION_OBJECTS
+    ]
+    prompts = (prompts * (args.n // len(prompts) + 1))[: args.n]
+
+    b = args.batch
+    uncond = Conditioning(
+        byt5=jnp.tile(null.byt5, (b, 1, 1)),
+        byt5_mask=jnp.tile(null.byt5_mask, (b, 1)),
+        clip=jnp.tile(null.clip, (b, 1)),
+    )
+
+    s_cfg = SampleConfig(steps=args.steps)
+    gen_batches = []
+    decode = jax.jit(lambda v, t: jnp.clip(
+        vq.apply(v, t, method=VQModel.decode_indices), 0.0, 1.0
+    ))
+    t_sample = 0.0
+    t0_all = time.time()
+    for i in range(args.n // b):
+        caps = prompts[i * b : (i + 1) * b]
+        byt5, mask, clip_vec = encode_text(caps)
+        cond = Conditioning(byt5=byt5, byt5_mask=mask, clip=clip_vec)
+        t0 = time.time()
+        tokens = sample(model, params, fast_key(1000 + i), cond, (b, hw, hw), uncond, s_cfg)
+        imgs = np.asarray(decode(vq_vars, tokens))  # fetch == sync (timing gotcha)
+        t_sample += time.time() - t0
+        gen_batches.append(imgs)
+        print(f"[eval] gen batch {i + 1}/{args.n // b}", flush=True)
+    gen_rate = args.n / t_sample
+
+    # --- real set: stream from the run's own tar shards -------------------
+    shard_dir = os.path.join(args.workdir, "shards")
+    if args.smoke and not os.path.isdir(shard_dir):
+        drv.make_shards(shard_dir, 1, 16, args.image)
+    shards = sorted(
+        os.path.join(shard_dir, s) for s in os.listdir(shard_dir) if s.endswith(".tar")
+    )
+    loader = WebDatasetLoader(
+        shards=shards, batch_size=b, image_size=args.image,
+        shuffle_buffer=64, filter=SampleFilter(min_size=args.image),
+        shard_offset=0, shard_stride=1,
+    )
+    real_batches = []
+    for images, _caps in loader:
+        real_batches.append(images)
+        if len(real_batches) * b >= args.n:
+            break
+
+    # --- classic InceptionV3 pool3 -> host-f64 Frechet ---------------------
+    sd = _load_synth_inception()(seed=0)
+    extract = inception_features(convert_inception(sd), variant="fid")
+    t0 = time.time()
+    gen_feats = features_over_batches(extract, gen_batches)
+    real_feats = features_over_batches(extract, real_batches)
+    t_feat = time.time() - t0
+    fid = fid_from_features(real_feats, gen_feats)
+    # sanity anchor: FID of the real set against itself split in half — the
+    # small-N noise floor the gen-vs-real number sits on
+    half = args.n // 2
+    floor = fid_from_features(real_feats[:half], real_feats[half:])
+
+    out = {
+        "metric": "eval pipeline e2e on hardware (sample -> decode -> inception pool3 -> FID)",
+        "caveat": "synthetic featurizer + 500-step checkpoint: the FID value is "
+                  "an execution proof, not a quality claim",
+        "device": str(dev),
+        "denoiser_step": step,
+        "n_per_set": args.n,
+        "image": args.image,
+        "sampler_steps": args.steps,
+        "fid_synthetic_featurizer": round(float(fid), 4),
+        "fid_noise_floor_real_vs_real": round(float(floor), 4),
+        "sampling_images_per_sec": round(gen_rate, 2),
+        "featurize_wall_s": round(t_feat, 1),
+        "total_wall_s": round(time.time() - t0_all, 1),
+    }
+    path = os.path.join(args.workdir, "eval_fid.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out), flush=True)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

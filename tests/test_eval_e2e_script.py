@@ -1,0 +1,31 @@
+"""CI rehearsal of scripts/run_eval_e2e.py — the checkpoint-day quality-eval
+protocol (sample -> VQGAN decode -> classic InceptionV3 pool3 -> host-f64
+Frechet) at tiny geometry on CPU, through the script's own CLI. The real-run
+artifact lives in runs/driver_e2e/eval_fid.json."""
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+SCRIPT = os.path.join(os.path.dirname(__file__), "..", "scripts", "run_eval_e2e.py")
+
+
+@pytest.mark.slow
+def test_eval_e2e_smoke(tmp_path):
+    workdir = tmp_path / "run"
+    r = subprocess.run(
+        [sys.executable, SCRIPT, "--smoke", "--workdir", str(workdir)],
+        capture_output=True, text=True, timeout=900,
+        env=dict(os.environ, JAX_PLATFORMS="cpu"),
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    out = json.loads(open(workdir / "eval_fid.json").read())
+    # both Frechet numbers finite and non-negative; the real-vs-real split is
+    # the small-N noise floor and must come in below gen-vs-real (synthetic
+    # denoiser output is far from the shard distribution)
+    assert out["fid_synthetic_featurizer"] >= 0
+    assert 0 <= out["fid_noise_floor_real_vs_real"] < out["fid_synthetic_featurizer"]
+    assert out["n_per_set"] == 8 and out["sampling_images_per_sec"] > 0

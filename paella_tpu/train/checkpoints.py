@@ -67,6 +67,9 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
+    def all_steps(self) -> list:
+        return sorted(self._mgr.all_steps())
+
     def wait(self):
         self._mgr.wait_until_finished()
 

@@ -27,6 +27,13 @@ src_distributed/utils.py:97-126.
     python scripts/run_eval_e2e.py --workdir runs/driver_e2e --n 256
 
 Writes <workdir>/eval_fid.json and prints it.
+
+`--trend` evaluates SEVERAL denoiser states against the same real set and
+featurizer — the untrained init (zero-init head => uniform code sampling)
+plus each requested checkpoint step — and writes eval_fid_trend.json. Even
+under a synthetic featurizer the Frechet distance is a valid distance in a
+random feature space (a random-projection FID), so the trend demonstrates
+the metric machinery *tracks training progress*, not merely that it runs.
 """
 from __future__ import annotations
 
@@ -68,6 +75,10 @@ def main():
     ap.add_argument("--byt5-bucket", type=int, default=64)
     ap.add_argument("--smoke", action="store_true",
                     help="tiny geometry on CPU, synthetic denoiser (CI path)")
+    ap.add_argument("--trend", action="store_true",
+                    help="FID per denoiser state (untrained init + checkpoints)")
+    ap.add_argument("--trend-steps", default="all",
+                    help="comma-separated checkpoint steps for --trend (default: all)")
     args = ap.parse_args()
     if args.smoke:
         args.n, args.batch, args.image, args.byt5_bucket = 8, 4, 64, 16
@@ -123,29 +134,32 @@ def main():
     hw = args.image // vq_cfg.downscale
 
     init = init_params(model, jax.random.PRNGKey(0), latent_hw=(hw, hw))
-    if args.smoke:
-        # synthetic denoiser, perturbed so the zero-init head isn't degenerate
-        leaves, treedef = jax.tree_util.tree_flatten(init)
-        keys = jax.random.split(jax.random.PRNGKey(5), len(leaves))
-        params = jax.tree_util.tree_unflatten(
+
+    def _perturbed(tree, scale=0.02, seed=5):
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        keys = jax.random.split(jax.random.PRNGKey(seed), len(leaves))
+        return jax.tree_util.tree_unflatten(
             treedef,
-            [l + 0.02 * jax.random.normal(k, l.shape, l.dtype) for l, k in zip(leaves, keys)],
+            [l + scale * jax.random.normal(k, l.shape, l.dtype) for l, k in zip(leaves, keys)],
         )
-        step = 0
-    else:
+
+    mgr = template = None
+    if not args.smoke:
         template = create_train_state(
             init, TrainConfig(warmup_updates=100, batch_size=args.batch)
         )
-        restored, _ = CheckpointManager(
-            os.path.join(args.workdir, "checkpoints")
-        ).restore(template)
+        mgr = CheckpointManager(os.path.join(args.workdir, "checkpoints"))
+
+    def restore_step(step=None):
+        restored, _ = mgr.restore(template, step=step)
         if restored is None:
-            raise SystemExit(f"no checkpoint under {args.workdir} — run run_driver_e2e.py first")
-        params = restored.params
-        step = int(restored.step)
-        del template, restored
-        print(f"[eval] restored step-{step} denoiser", flush=True)
-    del init
+            raise SystemExit(
+                f"no checkpoint under {args.workdir} — run run_driver_e2e.py first"
+            )
+        p, s = restored.params, int(restored.step)
+        del restored
+        print(f"[eval] restored step-{s} denoiser", flush=True)
+        return p, s
 
     # --- frozen conditioning encoders (identical build to the driver run) -
     enc_args = types.SimpleNamespace(smoke=args.smoke, byt5="bf16", byt5_bucket=args.byt5_bucket)
@@ -170,23 +184,10 @@ def main():
     )
 
     s_cfg = SampleConfig(steps=args.steps)
-    gen_batches = []
     decode = jax.jit(lambda v, t: jnp.clip(
         vq.apply(v, t, method=VQModel.decode_indices), 0.0, 1.0
     ))
-    t_sample = 0.0
     t0_all = time.time()
-    for i in range(args.n // b):
-        caps = prompts[i * b : (i + 1) * b]
-        byt5, mask, clip_vec = encode_text(caps)
-        cond = Conditioning(byt5=byt5, byt5_mask=mask, clip=clip_vec)
-        t0 = time.time()
-        tokens = sample(model, params, fast_key(1000 + i), cond, (b, hw, hw), uncond, s_cfg)
-        imgs = np.asarray(decode(vq_vars, tokens))  # fetch == sync (timing gotcha)
-        t_sample += time.time() - t0
-        gen_batches.append(imgs)
-        print(f"[eval] gen batch {i + 1}/{args.n // b}", flush=True)
-    gen_rate = args.n / t_sample
 
     # --- real set: stream from the run's own tar shards -------------------
     shard_dir = os.path.join(args.workdir, "shards")
@@ -206,35 +207,103 @@ def main():
         if len(real_batches) * b >= args.n:
             break
 
-    # --- classic InceptionV3 pool3 -> host-f64 Frechet ---------------------
+    # --- classic InceptionV3 pool3 featurizer (built once, shared by arms) -
     sd = _load_synth_inception()(seed=0)
     extract = inception_features(convert_inception(sd), variant="fid")
+    t_feat = [0.0]
     t0 = time.time()
-    gen_feats = features_over_batches(extract, gen_batches)
     real_feats = features_over_batches(extract, real_batches)
-    t_feat = time.time() - t0
-    fid = fid_from_features(real_feats, gen_feats)
+    t_feat[0] += time.time() - t0
     # sanity anchor: FID of the real set against itself split in half — the
-    # small-N noise floor the gen-vs-real number sits on
+    # small-N noise floor the gen-vs-real numbers sit on
     half = args.n // 2
     floor = fid_from_features(real_feats[:half], real_feats[half:])
 
-    out = {
-        "metric": "eval pipeline e2e on hardware (sample -> decode -> inception pool3 -> FID)",
-        "caveat": "synthetic featurizer + 500-step checkpoint: the FID value is "
-                  "an execution proof, not a quality claim",
-        "device": str(dev),
-        "denoiser_step": step,
-        "n_per_set": args.n,
-        "image": args.image,
-        "sampler_steps": args.steps,
-        "fid_synthetic_featurizer": round(float(fid), 4),
-        "fid_noise_floor_real_vs_real": round(float(floor), 4),
-        "sampling_images_per_sec": round(gen_rate, 2),
-        "featurize_wall_s": round(t_feat, 1),
-        "total_wall_s": round(time.time() - t0_all, 1),
-    }
-    path = os.path.join(args.workdir, "eval_fid.json")
+    def gen_features(params):
+        """Sample n images under `params`, decode, featurize. Same treedef and
+        shapes each call => the sampler/decode jits compile once across arms."""
+        gen_batches = []
+        t_sample = 0.0
+        for i in range(args.n // b):
+            caps = prompts[i * b : (i + 1) * b]
+            byt5, mask, clip_vec = encode_text(caps)
+            cond = Conditioning(byt5=byt5, byt5_mask=mask, clip=clip_vec)
+            t0 = time.time()
+            tokens = sample(model, params, fast_key(1000 + i), cond, (b, hw, hw), uncond, s_cfg)
+            imgs = np.asarray(decode(vq_vars, tokens))  # fetch == sync (timing gotcha)
+            t_sample += time.time() - t0
+            gen_batches.append(imgs)
+            print(f"[eval] gen batch {i + 1}/{args.n // b}", flush=True)
+        t0 = time.time()
+        feats = features_over_batches(extract, gen_batches)
+        t_feat[0] += time.time() - t0
+        return feats, args.n / t_sample
+
+    if args.trend:
+        # arm specs materialize params lazily (one denoiser resident at a time
+        # next to the 5+ GB frozen encoders)
+        if args.smoke:
+            specs = [("init", 0, lambda: init),
+                     ("perturbed-init", 0, lambda: _perturbed(init))]
+        else:
+            steps = (mgr.all_steps() if args.trend_steps == "all"
+                     else [int(s) for s in args.trend_steps.split(",")])
+            specs = [("init", 0, lambda: init)] + [
+                (f"step-{s}", s, lambda s=s: restore_step(s)[0]) for s in steps
+            ]
+        arms = []
+        for label, s, make in specs:
+            params = make()
+            feats, rate = gen_features(params)
+            fid = fid_from_features(real_feats, feats)
+            arms.append({
+                "arm": label, "denoiser_step": s,
+                "fid_synthetic_featurizer": round(float(fid), 4),
+                "sampling_images_per_sec": round(rate, 2),
+            })
+            print(f"[eval] {label}: fid={fid:.4f}", flush=True)
+            del params
+        fids = [a["fid_synthetic_featurizer"] for a in arms]
+        out = {
+            "metric": "FID vs training step (sample -> decode -> inception pool3 -> FID)",
+            "caveat": "synthetic featurizer: a random-projection FID — values are "
+                      "comparable ACROSS arms (same featurizer + real set), not to "
+                      "literature numbers",
+            "device": str(dev),
+            "n_per_set": args.n,
+            "image": args.image,
+            "sampler_steps": args.steps,
+            "fid_noise_floor_real_vs_real": round(float(floor), 4),
+            "arms": arms,
+            "monotone_improving": bool(all(a > b for a, b in zip(fids, fids[1:]))),
+            "featurize_wall_s": round(t_feat[0], 1),
+            "total_wall_s": round(time.time() - t0_all, 1),
+        }
+        path = os.path.join(args.workdir, "eval_fid_trend.json")
+    else:
+        if args.smoke:
+            # synthetic denoiser, perturbed so the zero-init head isn't degenerate
+            params, step = _perturbed(init), 0
+        else:
+            params, step = restore_step()
+        gen_feats, gen_rate = gen_features(params)
+        fid = fid_from_features(real_feats, gen_feats)
+        out = {
+            "metric": "eval pipeline e2e on hardware (sample -> decode -> inception pool3 -> FID)",
+            "caveat": "synthetic featurizer + 500-step checkpoint: the FID value is "
+                      "an execution proof, not a quality claim",
+            "device": str(dev),
+            "denoiser_step": step,
+            "n_per_set": args.n,
+            "image": args.image,
+            "sampler_steps": args.steps,
+            "fid_synthetic_featurizer": round(float(fid), 4),
+            "fid_noise_floor_real_vs_real": round(float(floor), 4),
+            "sampling_images_per_sec": round(gen_rate, 2),
+            "featurize_wall_s": round(t_feat[0], 1),
+            "total_wall_s": round(time.time() - t0_all, 1),
+        }
+        path = os.path.join(args.workdir, "eval_fid.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out), flush=True)

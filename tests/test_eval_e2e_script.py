@@ -29,3 +29,24 @@ def test_eval_e2e_smoke(tmp_path):
     assert out["fid_synthetic_featurizer"] >= 0
     assert 0 <= out["fid_noise_floor_real_vs_real"] < out["fid_synthetic_featurizer"]
     assert out["n_per_set"] == 8 and out["sampling_images_per_sec"] > 0
+
+
+@pytest.mark.slow
+def test_eval_e2e_trend_smoke(tmp_path):
+    workdir = tmp_path / "run"
+    r = subprocess.run(
+        [sys.executable, SCRIPT, "--smoke", "--trend", "--workdir", str(workdir)],
+        capture_output=True, text=True, timeout=900,
+        env=dict(os.environ, JAX_PLATFORMS="cpu"),
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    out = json.loads(open(workdir / "eval_fid_trend.json").read())
+    # two arms (init + perturbed-init), each scored against the SAME real set
+    # and featurizer; every Frechet number finite and above the shared floor
+    assert [a["arm"] for a in out["arms"]] == ["init", "perturbed-init"]
+    for a in out["arms"]:
+        assert a["fid_synthetic_featurizer"] >= 0
+        assert a["sampling_images_per_sec"] > 0
+    assert 0 <= out["fid_noise_floor_real_vs_real"]
+    assert isinstance(out["monotone_improving"], bool)

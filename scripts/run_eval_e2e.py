@@ -79,7 +79,29 @@ def main():
                     help="FID per denoiser state (untrained init + checkpoints)")
     ap.add_argument("--trend-steps", default="all",
                     help="comma-separated checkpoint steps for --trend (default: all)")
+    ap.add_argument("--real-recon", action="store_true",
+                    help="score against the codec's encode->decode reconstruction "
+                         "of the real set instead of the raw images. Under a "
+                         "synthetic (random-init) codec the raw-image FID is "
+                         "dominated by the decoder itself and is blind to token "
+                         "quality (measured: flat across a loss 6.9->1.4 training "
+                         "run); reconstruction puts both sets in the same codec "
+                         "image space so FID reflects the denoiser's token "
+                         "distribution. With trained codec weights recon==real "
+                         "up to codec distortion.")
+    ap.add_argument("--space", choices=("image", "tokens"), default="image",
+                    help="'tokens' scores distributions in TOKEN space (no "
+                         "decoder/featurizer in the loop): Frechet over "
+                         "[random-projected code histogram | codebook-embedding "
+                         "field stats] + marginal Jensen-Shannon, generated "
+                         "tokens vs encode(real). The quality-bearing space "
+                         "under a random-init codec: measured on the 500-step "
+                         "run, image-space FID is flat (raw: decoder-dominated; "
+                         "recon: decoder contracts token differences to ~0) "
+                         "while training moved loss 6.9->1.4.")
     args = ap.parse_args()
+    token_space = args.space == "tokens"
+    assert not (token_space and args.real_recon), "--real-recon is an image-space option"
     if args.smoke:
         args.n, args.batch, args.image, args.byt5_bucket = 8, 4, 64, 16
     assert args.n % args.batch == 0, "n must be a multiple of batch"
@@ -143,21 +165,25 @@ def main():
             [l + scale * jax.random.normal(k, l.shape, l.dtype) for l, k in zip(leaves, keys)],
         )
 
-    mgr = template = None
+    mgr = None
     if not args.smoke:
-        template = create_train_state(
-            init, TrainConfig(warmup_updates=100, batch_size=args.batch)
-        )
         mgr = CheckpointManager(os.path.join(args.workdir, "checkpoints"))
 
     def restore_step(step=None):
+        # the train-state template (params + both Adam moments, ~3x the 209M
+        # denoiser) is built per restore and freed immediately — keeping it
+        # resident next to the frozen towers OOMed the 16 GB chip
+        template = create_train_state(
+            init, TrainConfig(warmup_updates=100, batch_size=args.batch)
+        )
         restored, _ = mgr.restore(template, step=step)
+        del template
         if restored is None:
             raise SystemExit(
                 f"no checkpoint under {args.workdir} — run run_driver_e2e.py first"
             )
         p, s = restored.params, int(restored.step)
-        del restored
+        del restored  # drop the optimizer moments; only params sample
         print(f"[eval] restored step-{s} denoiser", flush=True)
         return p, s
 
@@ -189,6 +215,15 @@ def main():
     ))
     t0_all = time.time()
 
+    # precompute every batch's text conditioning ONCE (the states are ~84 MB
+    # total), then drop the closures so the 7+ GB frozen towers free before
+    # any checkpoint restore — encoders and train states never coexist
+    conds = []
+    for i in range(args.n // b):
+        byt5, mask, clip_vec = encode_text(prompts[i * b : (i + 1) * b])
+        conds.append(Conditioning(byt5=byt5, byt5_mask=mask, clip=clip_vec))
+    del encode_batch, encode_text
+
     # --- real set: stream from the run's own tar shards -------------------
     shard_dir = os.path.join(args.workdir, "shards")
     if args.smoke and not os.path.isdir(shard_dir):
@@ -206,18 +241,65 @@ def main():
         real_batches.append(images)
         if len(real_batches) * b >= args.n:
             break
+    if args.real_recon:
+        recon = jax.jit(lambda v, x: jnp.clip(
+            vq.apply(v, vq.apply(v, x, method=VQModel.encode)[2],
+                     method=VQModel.decode_indices), 0.0, 1.0))
+        real_batches = [np.asarray(recon(vq_vars, jnp.asarray(im))) for im in real_batches]
 
-    # --- classic InceptionV3 pool3 featurizer (built once, shared by arms) -
-    sd = _load_synth_inception()(seed=0)
-    extract = inception_features(convert_inception(sd), variant="fid")
-    t_feat = [0.0]
-    t0 = time.time()
-    real_feats = features_over_batches(extract, real_batches)
-    t_feat[0] += time.time() - t0
-    # sanity anchor: FID of the real set against itself split in half — the
-    # small-N noise floor the gen-vs-real numbers sit on
     half = args.n // 2
-    floor = fid_from_features(real_feats[:half], real_feats[half:])
+    t_feat = [0.0]
+    if token_space:
+        # --- token-space featurizer: no decoder, no inception ----------------
+        encode_tokens = jax.jit(lambda v, x: vq.apply(v, x, method=VQModel.encode)[2])
+        codebook = np.asarray(vq_vars["params"]["vquantizer"]["codebook"], np.float32)
+        K = codebook.shape[0]
+        R = np.random.default_rng(7).standard_normal((K, 64)).astype(np.float32)
+        R /= np.sqrt(64.0)
+
+        def token_stats(tok_batches):
+            """Per-image features: random-projected code histogram (64) |
+            codebook-embedding field mean/std (2c) | 2x2 quadrant means (4c).
+            Returns (features, mean marginal histogram)."""
+            toks = np.concatenate(tok_batches, 0)
+            B, H, W = toks.shape
+            hist = np.zeros((B, K), np.float32)
+            for bi in range(B):
+                hist[bi] = np.bincount(toks[bi].ravel(), minlength=K)
+            hist /= float(H * W)
+            emb = codebook[toks]
+            h2, w2 = H // 2, W // 2
+            quads = [emb[:, :h2, :w2], emb[:, :h2, w2:], emb[:, h2:, :w2], emb[:, h2:, w2:]]
+            feats = np.concatenate(
+                [hist @ R, emb.mean((1, 2)), emb.std((1, 2))]
+                + [q.mean((1, 2)) for q in quads], -1)
+            return feats.astype(np.float64), hist.mean(0)
+
+        def js_div(p, q, eps=1e-10):
+            p = np.asarray(p, np.float64) + eps
+            q = np.asarray(q, np.float64) + eps
+            p, q = p / p.sum(), q / q.sum()
+            m = 0.5 * (p + q)
+            kl = lambda a, c: float(np.sum(a * np.log(a / c)))
+            return 0.5 * kl(p, m) + 0.5 * kl(q, m)
+
+        t0 = time.time()
+        real_tok = [np.asarray(encode_tokens(vq_vars, jnp.asarray(im))) for im in real_batches]
+        real_feats, real_hist = token_stats(real_tok)
+        t_feat[0] += time.time() - t0
+        floor = fid_from_features(real_feats[:half], real_feats[half:])
+        js_floor = js_div(token_stats(real_tok[: len(real_tok) // 2])[1],
+                          token_stats(real_tok[len(real_tok) // 2 :])[1])
+    else:
+        # --- classic InceptionV3 pool3 featurizer (built once, shared by arms)
+        sd = _load_synth_inception()(seed=0)
+        extract = inception_features(convert_inception(sd), variant="fid")
+        t0 = time.time()
+        real_feats = features_over_batches(extract, real_batches)
+        t_feat[0] += time.time() - t0
+        # sanity anchor: FID of the real set against itself split in half — the
+        # small-N noise floor the gen-vs-real numbers sit on
+        floor = fid_from_features(real_feats[:half], real_feats[half:])
 
     def gen_features(params):
         """Sample n images under `params`, decode, featurize. Same treedef and
@@ -225,11 +307,8 @@ def main():
         gen_batches = []
         t_sample = 0.0
         for i in range(args.n // b):
-            caps = prompts[i * b : (i + 1) * b]
-            byt5, mask, clip_vec = encode_text(caps)
-            cond = Conditioning(byt5=byt5, byt5_mask=mask, clip=clip_vec)
             t0 = time.time()
-            tokens = sample(model, params, fast_key(1000 + i), cond, (b, hw, hw), uncond, s_cfg)
+            tokens = sample(model, params, fast_key(1000 + i), conds[i], (b, hw, hw), uncond, s_cfg)
             imgs = np.asarray(decode(vq_vars, tokens))  # fetch == sync (timing gotcha)
             t_sample += time.time() - t0
             gen_batches.append(imgs)
@@ -238,6 +317,33 @@ def main():
         feats = features_over_batches(extract, gen_batches)
         t_feat[0] += time.time() - t0
         return feats, args.n / t_sample
+
+    def gen_token_stats(params):
+        """Sample n token grids under `params` — tokens fetched directly, the
+        decoder never runs."""
+        tok_batches = []
+        t_sample = 0.0
+        for i in range(args.n // b):
+            t0 = time.time()
+            tokens = sample(model, params, fast_key(1000 + i), conds[i], (b, hw, hw), uncond, s_cfg)
+            tok_batches.append(np.asarray(tokens))  # fetch == sync (timing gotcha)
+            t_sample += time.time() - t0
+            print(f"[eval] gen batch {i + 1}/{args.n // b}", flush=True)
+        t0 = time.time()
+        feats, hist = token_stats(tok_batches)
+        t_feat[0] += time.time() - t0
+        return feats, hist, args.n / t_sample
+
+    def eval_arm(params):
+        """Returns (metric fields, sampling rate, headline Frechet value)."""
+        if token_space:
+            feats, hist, rate = gen_token_stats(params)
+            fr = float(fid_from_features(real_feats, feats))
+            return {"token_frechet": round(fr, 4),
+                    "token_js_to_real": round(js_div(hist, real_hist), 4)}, rate, fr
+        feats, rate = gen_features(params)
+        fr = float(fid_from_features(real_feats, feats))
+        return {"fid_synthetic_featurizer": round(fr, 4)}, rate, fr
 
     if args.trend:
         # arm specs materialize params lazily (one denoiser resident at a time
@@ -252,58 +358,83 @@ def main():
                 (f"step-{s}", s, lambda s=s: restore_step(s)[0]) for s in steps
             ]
         arms = []
+        frechets = []
         for label, s, make in specs:
             params = make()
-            feats, rate = gen_features(params)
-            fid = fid_from_features(real_feats, feats)
+            vals, rate, fr = eval_arm(params)
+            frechets.append(fr)
             arms.append({
-                "arm": label, "denoiser_step": s,
-                "fid_synthetic_featurizer": round(float(fid), 4),
+                "arm": label, "denoiser_step": s, **vals,
                 "sampling_images_per_sec": round(rate, 2),
             })
-            print(f"[eval] {label}: fid={fid:.4f}", flush=True)
+            print(f"[eval] {label}: {vals}", flush=True)
             del params
-        fids = [a["fid_synthetic_featurizer"] for a in arms]
-        out = {
-            "metric": "FID vs training step (sample -> decode -> inception pool3 -> FID)",
-            "caveat": "synthetic featurizer: a random-projection FID — values are "
-                      "comparable ACROSS arms (same featurizer + real set), not to "
-                      "literature numbers",
+        if token_space:
+            out = {
+                "metric": "token-space Frechet + marginal JS vs training step "
+                          "(generated tokens vs encode(real))",
+                "note": "the quality-bearing eval under a random-init codec — "
+                        "image-space FID measured flat across this training run "
+                        "(see eval_fid_trend_rawreal/recon.json)",
+                "token_frechet_floor_real_vs_real": round(float(floor), 4),
+                "token_js_floor_real_vs_real": round(js_floor, 4),
+            }
+            path = os.path.join(args.workdir, "eval_token_trend.json")
+        else:
+            out = {
+                "metric": "FID vs training step (sample -> decode -> inception pool3 -> FID)",
+                "caveat": "synthetic featurizer: a random-projection FID — values are "
+                          "comparable ACROSS arms (same featurizer + real set), not to "
+                          "literature numbers",
+                "real_set": "codec-recon" if args.real_recon else "jpeg",
+                "fid_noise_floor_real_vs_real": round(float(floor), 4),
+            }
+            path = os.path.join(args.workdir, "eval_fid_trend.json")
+        out.update({
             "device": str(dev),
             "n_per_set": args.n,
             "image": args.image,
             "sampler_steps": args.steps,
-            "fid_noise_floor_real_vs_real": round(float(floor), 4),
             "arms": arms,
-            "monotone_improving": bool(all(a > b for a, b in zip(fids, fids[1:]))),
+            "monotone_improving": bool(
+                all(a > c for a, c in zip(frechets, frechets[1:]))),
             "featurize_wall_s": round(t_feat[0], 1),
             "total_wall_s": round(time.time() - t0_all, 1),
-        }
-        path = os.path.join(args.workdir, "eval_fid_trend.json")
+        })
     else:
         if args.smoke:
             # synthetic denoiser, perturbed so the zero-init head isn't degenerate
             params, step = _perturbed(init), 0
         else:
             params, step = restore_step()
-        gen_feats, gen_rate = gen_features(params)
-        fid = fid_from_features(real_feats, gen_feats)
-        out = {
-            "metric": "eval pipeline e2e on hardware (sample -> decode -> inception pool3 -> FID)",
-            "caveat": "synthetic featurizer + 500-step checkpoint: the FID value is "
-                      "an execution proof, not a quality claim",
+        vals, gen_rate, _fr = eval_arm(params)
+        if token_space:
+            out = {
+                "metric": "token-space eval on hardware (sample -> token Frechet/JS vs encode(real))",
+                "token_frechet_floor_real_vs_real": round(float(floor), 4),
+                "token_js_floor_real_vs_real": round(js_floor, 4),
+            }
+            path = os.path.join(args.workdir, "eval_token.json")
+        else:
+            out = {
+                "metric": "eval pipeline e2e on hardware (sample -> decode -> inception pool3 -> FID)",
+                "caveat": "synthetic featurizer + 500-step checkpoint: the FID value is "
+                          "an execution proof, not a quality claim",
+                "real_set": "codec-recon" if args.real_recon else "jpeg",
+                "fid_noise_floor_real_vs_real": round(float(floor), 4),
+            }
+            path = os.path.join(args.workdir, "eval_fid.json")
+        out.update({
             "device": str(dev),
             "denoiser_step": step,
             "n_per_set": args.n,
             "image": args.image,
             "sampler_steps": args.steps,
-            "fid_synthetic_featurizer": round(float(fid), 4),
-            "fid_noise_floor_real_vs_real": round(float(floor), 4),
+            **vals,
             "sampling_images_per_sec": round(gen_rate, 2),
             "featurize_wall_s": round(t_feat[0], 1),
             "total_wall_s": round(time.time() - t0_all, 1),
-        }
-        path = os.path.join(args.workdir, "eval_fid.json")
+        })
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out), flush=True)

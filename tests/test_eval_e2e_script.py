@@ -35,7 +35,8 @@ def test_eval_e2e_smoke(tmp_path):
 def test_eval_e2e_trend_smoke(tmp_path):
     workdir = tmp_path / "run"
     r = subprocess.run(
-        [sys.executable, SCRIPT, "--smoke", "--trend", "--workdir", str(workdir)],
+        [sys.executable, SCRIPT, "--smoke", "--trend", "--real-recon",
+         "--workdir", str(workdir)],
         capture_output=True, text=True, timeout=900,
         env=dict(os.environ, JAX_PLATFORMS="cpu"),
     )
@@ -50,3 +51,25 @@ def test_eval_e2e_trend_smoke(tmp_path):
         assert a["sampling_images_per_sec"] > 0
     assert 0 <= out["fid_noise_floor_real_vs_real"]
     assert isinstance(out["monotone_improving"], bool)
+    assert out["real_set"] == "codec-recon"
+
+
+@pytest.mark.slow
+def test_eval_e2e_token_space_smoke(tmp_path):
+    workdir = tmp_path / "run"
+    r = subprocess.run(
+        [sys.executable, SCRIPT, "--smoke", "--trend", "--space", "tokens",
+         "--workdir", str(workdir)],
+        capture_output=True, text=True, timeout=900,
+        env=dict(os.environ, JAX_PLATFORMS="cpu"),
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    out = json.loads(open(workdir / "eval_token_trend.json").read())
+    assert [a["arm"] for a in out["arms"]] == ["init", "perturbed-init"]
+    for a in out["arms"]:
+        # JS divergence is bounded by ln 2; untrained arms must sit clearly
+        # above the real-vs-real noise floors (measured ~30x at this geometry)
+        assert 0 <= a["token_js_to_real"] <= 0.6932
+        assert a["token_frechet"] > out["token_frechet_floor_real_vs_real"]
+        assert a["token_js_to_real"] > out["token_js_floor_real_vs_real"]

@@ -99,9 +99,21 @@ def main():
                          "run, image-space FID is flat (raw: decoder-dominated; "
                          "recon: decoder contracts token differences to ~0) "
                          "while training moved loss 6.9->1.4.")
+    ap.add_argument("--w8a8", action="store_true",
+                    help="add a true-W8A8 twin of every --trend arm: the SAME "
+                         "restored params int8-quantized (fuse-eligible levels "
+                         "+ first/skip reps, mirroring w8a8_quality_proxy) and "
+                         "sampled with act_quant=True. The full-sampling-loop "
+                         "quality evidence for the act_quant default flip: the "
+                         "stage-1 proxy bounds single-forward logit drift; this "
+                         "measures the 8-step loop's compounded effect on the "
+                         "generated token DISTRIBUTION (same seeds as the bf16 "
+                         "twin). Gate: twin Frechet/JS to real within noise of "
+                         "bf16's, twin-to-twin JS ~ seed-resample floor.")
     args = ap.parse_args()
     token_space = args.space == "tokens"
     assert not (token_space and args.real_recon), "--real-recon is an image-space option"
+    assert not (args.w8a8 and not args.trend), "--w8a8 is a --trend mode option"
     if args.smoke:
         args.n, args.batch, args.image, args.byt5_bucket = 8, 4, 64, 16
     assert args.n % args.batch == 0, "n must be a multiple of batch"
@@ -149,6 +161,21 @@ def main():
         )
         vq_cfg = dataclasses.replace(VQConfig(), dtype="bfloat16")
     model = Paella(p_cfg)
+    model_q = q_levels = None
+    if args.w8a8:
+        from paella_tpu.quant import fuse_eligible_levels, quantize_paella_int8
+
+        # identical recipe to quant.w8a8_quality_proxy (the stage-1 gate):
+        # quantize the fuse-eligible levels' fc stacks + first/skip reps,
+        # apply with act_quant=True. At the driver-e2e geometry (320,640,640)
+        # the eligible levels are (1, 2) — level 0's 320 channels miss the
+        # kernel's 128-alignment, so it stays bf16, exactly as it would in
+        # production serving.
+        q_levels = fuse_eligible_levels(p_cfg)
+        model_q = Paella(dataclasses.replace(p_cfg, act_quant=True))
+
+        def _quantize(p):
+            return quantize_paella_int8(p, levels=q_levels, include_first=True)
     vq = VQModel(vq_cfg)
     vq_vars = jax.jit(vq.init)(
         jax.random.PRNGKey(1), jnp.zeros((1, args.image, args.image, 3))
@@ -301,14 +328,15 @@ def main():
         # small-N noise floor the gen-vs-real numbers sit on
         floor = fid_from_features(real_feats[:half], real_feats[half:])
 
-    def gen_features(params):
+    def gen_features(params, m=None):
         """Sample n images under `params`, decode, featurize. Same treedef and
         shapes each call => the sampler/decode jits compile once across arms."""
+        m = m or model
         gen_batches = []
         t_sample = 0.0
         for i in range(args.n // b):
             t0 = time.time()
-            tokens = sample(model, params, fast_key(1000 + i), conds[i], (b, hw, hw), uncond, s_cfg)
+            tokens = sample(m, params, fast_key(1000 + i), conds[i], (b, hw, hw), uncond, s_cfg)
             imgs = np.asarray(decode(vq_vars, tokens))  # fetch == sync (timing gotcha)
             t_sample += time.time() - t0
             gen_batches.append(imgs)
@@ -318,14 +346,15 @@ def main():
         t_feat[0] += time.time() - t0
         return feats, args.n / t_sample
 
-    def gen_token_stats(params):
+    def gen_token_stats(params, m=None):
         """Sample n token grids under `params` — tokens fetched directly, the
         decoder never runs."""
+        m = m or model
         tok_batches = []
         t_sample = 0.0
         for i in range(args.n // b):
             t0 = time.time()
-            tokens = sample(model, params, fast_key(1000 + i), conds[i], (b, hw, hw), uncond, s_cfg)
+            tokens = sample(m, params, fast_key(1000 + i), conds[i], (b, hw, hw), uncond, s_cfg)
             tok_batches.append(np.asarray(tokens))  # fetch == sync (timing gotcha)
             t_sample += time.time() - t0
             print(f"[eval] gen batch {i + 1}/{args.n // b}", flush=True)
@@ -334,14 +363,18 @@ def main():
         t_feat[0] += time.time() - t0
         return feats, hist, args.n / t_sample
 
-    def eval_arm(params):
+    arm_hists = {}
+
+    def eval_arm(params, m=None, label=None):
         """Returns (metric fields, sampling rate, headline Frechet value)."""
         if token_space:
-            feats, hist, rate = gen_token_stats(params)
+            feats, hist, rate = gen_token_stats(params, m)
+            if label is not None:
+                arm_hists[label] = hist
             fr = float(fid_from_features(real_feats, feats))
             return {"token_frechet": round(fr, 4),
                     "token_js_to_real": round(js_div(hist, real_hist), 4)}, rate, fr
-        feats, rate = gen_features(params)
+        feats, rate = gen_features(params, m)
         fr = float(fid_from_features(real_feats, feats))
         return {"fid_synthetic_featurizer": round(fr, 4)}, rate, fr
 
@@ -358,16 +391,28 @@ def main():
                 (f"step-{s}", s, lambda s=s: restore_step(s)[0]) for s in steps
             ]
         arms = []
-        frechets = []
+        frechets = []  # bf16 arms only — the training-trend monotone check
         for label, s, make in specs:
             params = make()
-            vals, rate, fr = eval_arm(params)
+            vals, rate, fr = eval_arm(params, label=label)
             frechets.append(fr)
             arms.append({
                 "arm": label, "denoiser_step": s, **vals,
                 "sampling_images_per_sec": round(rate, 2),
             })
             print(f"[eval] {label}: {vals}", flush=True)
+            if args.w8a8:
+                # twin arm: same restored params int8-quantized, same seeds
+                qlabel = label + "-w8a8"
+                qvals, qrate, _ = eval_arm(_quantize(params), model_q, qlabel)
+                if token_space and label in arm_hists:
+                    qvals["token_js_to_bf16_twin"] = round(
+                        js_div(arm_hists[qlabel], arm_hists[label]), 4)
+                arms.append({
+                    "arm": qlabel, "denoiser_step": s, **qvals,
+                    "sampling_images_per_sec": round(qrate, 2),
+                })
+                print(f"[eval] {qlabel}: {qvals}", flush=True)
             del params
         if token_space:
             out = {
@@ -390,6 +435,13 @@ def main():
                 "fid_noise_floor_real_vs_real": round(float(floor), 4),
             }
             path = os.path.join(args.workdir, "eval_fid_trend.json")
+        if args.w8a8:
+            out["w8a8"] = {
+                "levels": list(q_levels), "include_first": True,
+                "note": "per-step '-w8a8' twin = same restored params "
+                        "quantized, act_quant=True sampling, same seeds",
+            }
+            path = path.replace(".json", "_w8a8.json")
         out.update({
             "device": str(dev),
             "n_per_set": args.n,

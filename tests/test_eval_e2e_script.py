@@ -59,17 +59,27 @@ def test_eval_e2e_token_space_smoke(tmp_path):
     workdir = tmp_path / "run"
     r = subprocess.run(
         [sys.executable, SCRIPT, "--smoke", "--trend", "--space", "tokens",
-         "--workdir", str(workdir)],
+         "--w8a8", "--workdir", str(workdir)],
         capture_output=True, text=True, timeout=900,
         env=dict(os.environ, JAX_PLATFORMS="cpu"),
     )
     assert r.returncode == 0, r.stdout + r.stderr
 
-    out = json.loads(open(workdir / "eval_token_trend.json").read())
-    assert [a["arm"] for a in out["arms"]] == ["init", "perturbed-init"]
+    out = json.loads(open(workdir / "eval_token_trend_w8a8.json").read())
+    assert [a["arm"] for a in out["arms"]] == [
+        "init", "init-w8a8", "perturbed-init", "perturbed-init-w8a8"]
     for a in out["arms"]:
         # JS divergence is bounded by ln 2; untrained arms must sit clearly
         # above the real-vs-real noise floors (measured ~30x at this geometry)
         assert 0 <= a["token_js_to_real"] <= 0.6932
         assert a["token_frechet"] > out["token_frechet_floor_real_vs_real"]
         assert a["token_js_to_real"] > out["token_js_floor_real_vs_real"]
+    # tiny() channels miss the fused kernel's 128-alignment, so NOTHING is
+    # eligible to quantize (out["w8a8"]["levels"] == []): the twin samples the
+    # identical program with the same seeds — its token marginal must match
+    # the bf16 twin's exactly. On the real geometry levels=(1,2) quantize and
+    # this field measures true W8A8 drift through the full sampling loop.
+    assert out["w8a8"]["levels"] == []
+    for a in out["arms"]:
+        if a["arm"].endswith("-w8a8"):
+            assert a["token_js_to_bf16_twin"] == 0.0

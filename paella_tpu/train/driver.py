@@ -50,6 +50,13 @@ class DriverConfig:
     # preemption contract of managed TPU pools (the reference loses up to
     # print_every=2000 steps of work on preemption; here at most one step)
     graceful_preemption: bool = True
+    # overlap the NEXT batch's conditioning encodes with the current train
+    # step: a producer thread pulls batch N+1, runs the frozen-encoder
+    # dispatches (tunnel round-trips release the GIL), and device_puts —
+    # while step N executes. 0 = synchronous (the pre-round-5 behavior).
+    # This is the role torch DataLoader workers play for the reference
+    # (src_distributed/utils.py:62) extended to the ENCODER dispatches.
+    encode_prefetch: int = 1
 
 
 class _PreemptionGuard:
@@ -168,15 +175,36 @@ def run_training(
     start = int(state.step)
     with mesh, _PreemptionGuard(driver_cfg.graceful_preemption) as guard:
         n_data = mesh.shape["dp"] * mesh.shape["fsdp"]
-        for it in range(start, driver_cfg.total_steps):
-            images, captions = next(data_iter)
-            if images.shape[0] % n_data:
-                raise ValueError(
-                    f"batch size {images.shape[0]} must be divisible by the mesh's "
-                    f"data extent dp*fsdp={n_data}"
+
+        def _encoded_batches():
+            """(images, captions, ready-to-step Batch) stream. Run through a
+            background thread (encode_prefetch>0) this does batch N+1's host
+            decode, tokenization, encoder dispatches and device_puts while
+            step N runs — JAX dispatch is async and thread-safe, and the
+            arrays are only consumed next iteration. Eval batches are drawn
+            from THIS stream too (single consumer of data_iter; a raw
+            next(data_iter) in the eval path would race the producer)."""
+            for images, captions in data_iter:
+                if images.shape[0] % n_data:
+                    raise ValueError(
+                        f"batch size {images.shape[0]} must be divisible by the "
+                        f"mesh's data extent dp*fsdp={n_data}"
+                    )
+                batch = encode_batch(images, captions)
+                batch = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, bsh), batch
                 )
-            batch = encode_batch(images, captions)
-            batch = jax.tree_util.tree_map(lambda x: jax.device_put(x, bsh), batch)
+                yield images, captions, batch
+
+        from ..data.prefetch import background_iterator as _bg
+
+        enc_iter = (
+            _bg(_encoded_batches(), depth=driver_cfg.encode_prefetch)
+            if driver_cfg.encode_prefetch > 0
+            else _encoded_batches()
+        )
+        for it in range(start, driver_cfg.total_steps):
+            images, captions, batch = next(enc_iter)
             state, metrics = step_fn(state, vq_vars, batch, null_cond, rng)
             timer.tick()
 
@@ -199,7 +227,7 @@ def run_training(
                 # 500-step run: last save rotated out at 450)
                 ckpt.save(step, state, force=(step == driver_cfg.total_steps))
                 if sample_eval:
-                    eval_images, eval_captions = next(data_iter)
+                    eval_images, eval_captions, _ = next(enc_iter)
                     _eval_grid(
                         model, state.params, vq, vq_vars, encode_batch, driver_cfg,
                         step, workdir, images=eval_images, captions=eval_captions,

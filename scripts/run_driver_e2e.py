@@ -136,6 +136,11 @@ def build_encoders(args, jax, jnp):
         t5_cfg = T5Config.byt5_xl()
         txt_cfg = CLIPTextConfig.vit_h_14()
         vis_cfg = CLIPVisionConfig.vit_h_14()
+    if args.byt5 == "w8a8":
+        # true W8A8 (int8 weights + per-row int8 activations, quant.w8a8_dot):
+        # same 2.6 GB residency as int8 weight-only, and the s8 dot path was
+        # measured FASTER than bf16 at every bucket (docs/quantization.md)
+        t5_cfg = dataclasses.replace(t5_cfg, act_quant=True)
 
     bf16 = jnp.bfloat16
     cast = lambda p: jax.tree_util.tree_map(
@@ -152,11 +157,12 @@ def build_encoders(args, jax, jnp):
     n_t5 = sum(x.size for x in jax.tree_util.tree_leaves(t5_params))
     print(f"[encoders] byt5 d_model={t5_cfg.d_model} params={n_t5/1e9:.2f}B "
           f"init {time.time()-t0:.0f}s", flush=True)
-    if args.byt5 == "int8":
+    if args.byt5 in ("int8", "w8a8"):
         from paella_tpu.quant import quantize_t5_int8
 
         t5_params = jax.jit(quantize_t5_int8, donate_argnums=0)(t5_params)
-        print("[encoders] byt5 weights quantized to int8 (2.6 GB residency)")
+        print(f"[encoders] byt5 weights quantized to int8 (2.6 GB residency, "
+              f"mode={args.byt5})")
 
     tm = CLIPTextEncoder(txt_cfg)
     txt_params = free(
@@ -262,11 +268,27 @@ def main():
     ap.add_argument("--eval-every", type=int, default=150)
     ap.add_argument("--shards", type=int, default=2)
     ap.add_argument("--per-shard", type=int, default=512)
-    ap.add_argument("--byt5", default="bf16", choices=["bf16", "int8"],
-                    help="frozen ByT5-XL weight residency (int8 frees 2.6 GB HBM)")
+    ap.add_argument("--byt5", default="bf16", choices=["bf16", "int8", "w8a8"],
+                    help="frozen ByT5-XL residency: int8/w8a8 free 2.6 GB HBM; "
+                         "w8a8 additionally runs the s8 dot path (faster, "
+                         "docs/quantization.md)")
+    ap.add_argument("--geometry", default="small", choices=["small", "1b"],
+                    help="denoiser geometry: 'small' = the ~280M half-width/"
+                         "half-depth rehearsal; '1b' = the reference's FLAGSHIP "
+                         "production config (src_distributed/train.py:32,48)")
+    ap.add_argument("--adam-moments", default="f32", choices=["f32", "bf16"],
+                    help="Adam moment dtype; bf16 is what fits 1B on one v5e "
+                         "(f32 moments exceed HBM by 237 MB, CLAUDE.md r3b)")
     ap.add_argument("--byt5-bucket", type=int, default=64,
                     help="fixed byte-token pad length (avoids per-batch recompiles)")
     ap.add_argument("--workers", type=int, default=2)
+    ap.add_argument("--encode-prefetch", type=int, default=1,
+                    help="overlap batch N+1's conditioning encodes with step N "
+                         "(DriverConfig.encode_prefetch; 0 = synchronous)")
+    ap.add_argument("--codec", default=None,
+                    help="codec_vars.npz from scripts/run_codec_pretrain.py: "
+                         "train the denoiser against a TRAINED codec instead "
+                         "of the random-init one")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny geometry on CPU: CI rehearsal of this exact script")
     args = ap.parse_args()
@@ -313,6 +335,14 @@ def main():
             PaellaConfig.tiny(), byt5_embd=32, clip_embd=24, dtype="bfloat16", remat=True
         )
         vq_cfg = VQConfig.tiny()
+    elif args.geometry == "1b":
+        # the FLAGSHIP: the reference's production 1B config verbatim
+        # (src_distributed/train.py:32,48 — c_hidden=[640,1280,1280],
+        # blocks=[6,16,6], byt5_embd=2560)
+        p_cfg = dataclasses.replace(
+            PaellaConfig.v1_byt5_xl(), dtype="bfloat16", remat=True
+        )
+        vq_cfg = dataclasses.replace(VQConfig(), dtype="bfloat16")
     else:
         # scripts/train_bench.py's "small" ~280M geometry: half width / half
         # depth of the flagship, ByT5-XL conditioning widths
@@ -332,16 +362,26 @@ def main():
     )
 
     vq = VQModel(vq_cfg)
-    vq_vars = jax.jit(vq.init)(
-        jax.random.PRNGKey(1), jnp.zeros((1, args.image, args.image, 3))
-    )
+    if args.codec:
+        from paella_tpu.train.checkpoints import load_params_npz
+
+        vq_vars = jax.device_put(load_params_npz(args.codec))
+        print(f"[driver-e2e] loaded trained codec vars from {args.codec}", flush=True)
+    else:
+        vq_vars = jax.jit(vq.init)(
+            jax.random.PRNGKey(1), jnp.zeros((1, args.image, args.image, 3))
+        )
     model = Paella(p_cfg)
     f = vq_cfg.downscale
     hw = args.image // f
     params = init_params(model, jax.random.PRNGKey(0), latent_hw=(hw, hw))
     print(f"denoiser params: {count_params(params)/1e6:.0f}M", flush=True)
 
-    t_cfg = TrainConfig(warmup_updates=100, batch_size=args.batch)
+    t_cfg = TrainConfig(
+        warmup_updates=100,
+        batch_size=args.batch,
+        adam_moment_dtype="bfloat16" if args.adam_moments == "bf16" else "float32",
+    )
     d_cfg = DriverConfig(
         workdir=args.workdir,
         total_steps=args.steps,
@@ -349,6 +389,7 @@ def main():
         eval_every=args.eval_every,
         eval_steps=8,
         max_keep=3,
+        encode_prefetch=args.encode_prefetch,
     )
 
     t0 = time.time()
@@ -377,6 +418,8 @@ def main():
         "batch": args.batch,
         "image": args.image,
         "byt5": args.byt5,
+        "geometry": args.geometry,
+        "adam_moments": args.adam_moments,
         "device": str(dev),
     }
     print(json.dumps(summary), flush=True)

@@ -99,6 +99,10 @@ def main():
                          "run, image-space FID is flat (raw: decoder-dominated; "
                          "recon: decoder contracts token differences to ~0) "
                          "while training moved loss 6.9->1.4.")
+    ap.add_argument("--codec", default=None,
+                    help="codec_vars.npz from scripts/run_codec_pretrain.py: "
+                         "score against the TRAINED codec (the image-space FID "
+                         "chain is only quality-bearing with one — see --space)")
     ap.add_argument("--w8a8", action="store_true",
                     help="add a true-W8A8 twin of every --trend arm: the SAME "
                          "restored params int8-quantized (fuse-eligible levels "
@@ -124,7 +128,8 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    jax.config.update("jax_compilation_cache_dir", os.path.join(repo_root, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import run_driver_e2e as drv
@@ -172,14 +177,32 @@ def main():
         # kernel's 128-alignment, so it stays bf16, exactly as it would in
         # production serving.
         q_levels = fuse_eligible_levels(p_cfg)
-        model_q = Paella(dataclasses.replace(p_cfg, act_quant=True))
+        # fused_blocks=True is REQUIRED (matching quant.w8a8_quality_proxy):
+        # quantize_paella_int8's int8 kernels are only valid on the fused
+        # Pallas path — the denoiser's hazard guard (models/denoiser.py)
+        # raises on the XLA path. At smoke geometry nothing is eligible, so
+        # the twin traces the identical program either way.
+        model_q = Paella(
+            dataclasses.replace(p_cfg, act_quant=True, fused_blocks=True)
+        )
+        if not args.smoke:
+            assert q_levels, (
+                f"--w8a8 at geometry {p_cfg.c_hidden} quantizes nothing — "
+                "no fuse-eligible level (c % 128 == 0)"
+            )
 
         def _quantize(p):
             return quantize_paella_int8(p, levels=q_levels, include_first=True)
     vq = VQModel(vq_cfg)
-    vq_vars = jax.jit(vq.init)(
-        jax.random.PRNGKey(1), jnp.zeros((1, args.image, args.image, 3))
-    )
+    if args.codec:
+        from paella_tpu.train.checkpoints import load_params_npz
+
+        vq_vars = jax.device_put(load_params_npz(args.codec))
+        print(f"[eval] loaded trained codec vars from {args.codec}", flush=True)
+    else:
+        vq_vars = jax.jit(vq.init)(
+            jax.random.PRNGKey(1), jnp.zeros((1, args.image, args.image, 3))
+        )
     hw = args.image // vq_cfg.downscale
 
     init = init_params(model, jax.random.PRNGKey(0), latent_hw=(hw, hw))
@@ -268,6 +291,12 @@ def main():
         real_batches.append(images)
         if len(real_batches) * b >= args.n:
             break
+    n_real = len(real_batches) * b
+    assert n_real == args.n, (
+        f"shards under {shard_dir} yielded only {n_real} of the requested "
+        f"{args.n} real images — Frechet floors would be computed over "
+        "mismatched sets; lower --n or add shards"
+    )
     if args.real_recon:
         recon = jax.jit(lambda v, x: jnp.clip(
             vq.apply(v, vq.apply(v, x, method=VQModel.encode)[2],
@@ -444,6 +473,7 @@ def main():
             path = path.replace(".json", "_w8a8.json")
         out.update({
             "device": str(dev),
+            "codec": args.codec or "random-init",
             "n_per_set": args.n,
             "image": args.image,
             "sampler_steps": args.steps,
@@ -478,6 +508,7 @@ def main():
             path = os.path.join(args.workdir, "eval_fid.json")
         out.update({
             "device": str(dev),
+            "codec": args.codec or "random-init",
             "denoiser_step": step,
             "n_per_set": args.n,
             "image": args.image,

@@ -120,6 +120,79 @@ def test_two_process_disjoint_data_streams(tmp_path):
 
 
 TRAIN_WORKER = os.path.join(os.path.dirname(__file__), "_train_step_worker.py")
+SAMPLE_WORKER = os.path.join(os.path.dirname(__file__), "_sample_worker.py")
+
+
+@pytest.mark.slow
+def test_two_process_sampling_matches_single_process():
+    """The single-jit SAMPLER over a global dp mesh spanning two OS processes
+    (round-4 VERDICT item 7 — the generation twin of the train-step test):
+    each process's locally-held token rows must be bitwise identical to a
+    single-process run of the same global computation at the same keys."""
+    coordinator = f"127.0.0.1:{_free_port()}"
+    n = 2
+    env = {
+        **os.environ,
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        "JAX_PLATFORMS": "cpu",
+        "PYTHONPATH": os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, SAMPLE_WORKER, coordinator, str(n), str(i)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env,
+        )
+        for i in range(n)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    row_hashes: dict = {}
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        assert "WORKER_OK" in out, f"worker {i} output:\n{out}"
+        for line in out.splitlines():
+            if not line.startswith("TOKROW"):
+                continue
+            idx = int(line.split("idx=")[1].split()[0])
+            md5 = line.split("md5=")[1].strip()
+            if idx in row_hashes:
+                assert row_hashes[idx] == md5, f"row {idx} differs across processes"
+            row_hashes[idx] = md5
+    # 2 processes x 2 virtual devices each = 4 global rows
+    assert sorted(row_hashes) == [0, 1, 2, 3], row_hashes
+
+    # single-process reference on this test's own virtual devices
+    import hashlib
+
+    import jax
+
+    from paella_tpu.parallel import batch_sharding
+    from tests._train_step_common import build_sample_case
+
+    mesh, run, cond_np = build_sample_case(4)
+    bsh = batch_sharding(mesh)
+    cond = {
+        k: jax.device_put(a, bsh) for k, a in cond_np.items()
+    }
+    with mesh:
+        tokens = np.asarray(run(cond))
+    assert tokens.shape[0] == 4
+    for idx in range(4):
+        ref = hashlib.md5(tokens[idx].tobytes()).hexdigest()
+        assert row_hashes[idx] == ref, (
+            f"row {idx}: cross-process tokens differ from single-process"
+        )
 
 
 @pytest.mark.slow

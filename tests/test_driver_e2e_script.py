@@ -19,7 +19,15 @@ def _run(workdir, steps, extra=(), preempt_after_step=None):
         "--steps", str(steps), "--log-every", "2", "--eval-every", "20",
         "--shards", "1", "--workers", "1", *extra,
     ]
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # pin the subprocess to ONE device: it inherits the suite's 8-virtual-
+    # device XLA_FLAGS otherwise, and the script's default mesh then demands
+    # batch % 8 == 0 while smoke batch is 4 (latent since the conftest flag;
+    # masked because slow tests are routinely deselected)
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=1",
+    )
     if preempt_after_step is None:
         return subprocess.run(cmd, capture_output=True, text=True, timeout=900, env=env)
     proc = subprocess.Popen(

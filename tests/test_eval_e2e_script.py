@@ -80,6 +80,26 @@ def test_eval_e2e_token_space_smoke(tmp_path):
     # the bf16 twin's exactly. On the real geometry levels=(1,2) quantize and
     # this field measures true W8A8 drift through the full sampling loop.
     assert out["w8a8"]["levels"] == []
+    # root-cause guard for the exact-equality assertion below: with no
+    # eligible level, quantize_paella_int8 must be an identity — if this
+    # fails, the JS==0.0 check below would fail confusingly downstream
+    import jax
+    import jax.numpy as jnp
+    from paella_tpu.config import PaellaConfig
+    from paella_tpu.models import Paella, init_params
+    from paella_tpu.quant import fuse_eligible_levels, quantize_paella_int8
+
+    tiny = PaellaConfig.tiny()
+    assert fuse_eligible_levels(tiny) == ()
+    p = init_params(Paella(tiny), jax.random.PRNGKey(0), latent_hw=(8, 8))
+    q = quantize_paella_int8(p, levels=(), include_first=True)
+    assert jax.tree_util.tree_all(
+        jax.tree_util.tree_map(lambda a, b: bool(jnp.array_equal(a, b)), p, q)
+    )
     for a in out["arms"]:
         if a["arm"].endswith("-w8a8"):
+            # exact float equality is intentional: the quantized twin must
+            # trace to a bit-identical program when nothing is quantized
+            # (guarded by the identity check above — a failure HERE means
+            # act_quant/fused_blocks changed the traced graph itself)
             assert a["token_js_to_bf16_twin"] == 0.0

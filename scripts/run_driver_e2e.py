@@ -272,9 +272,11 @@ def main():
                     help="frozen ByT5-XL residency: int8/w8a8 free 2.6 GB HBM; "
                          "w8a8 additionally runs the s8 dot path (faster, "
                          "docs/quantization.md)")
-    ap.add_argument("--geometry", default="small", choices=["small", "1b"],
+    ap.add_argument("--geometry", default="small", choices=["small", "mid", "1b"],
                     help="denoiser geometry: 'small' = the ~280M half-width/"
-                         "half-depth rehearsal; '1b' = the reference's FLAGSHIP "
+                         "half-depth rehearsal; 'mid' = flagship depth at 80% "
+                         "width (~645M, the largest that fits one v5e next to "
+                         "the frozen towers); '1b' = the reference's FLAGSHIP "
                          "production config (src_distributed/train.py:32,48)")
     ap.add_argument("--adam-moments", default="f32", choices=["f32", "bf16"],
                     help="Adam moment dtype; bf16 is what fits 1B on one v5e "
@@ -335,6 +337,19 @@ def main():
             PaellaConfig.tiny(), byt5_embd=32, clip_embd=24, dtype="bfloat16", remat=True
         )
         vq_cfg = VQConfig.tiny()
+    elif args.geometry == "mid":
+        # flagship DEPTH (blocks 6/16/6) and head count at 80% width: the 1B
+        # config's training working set (f32 params + f32 grads + bf16 moments
+        # = 3x params) plus the 4.6 GB frozen towers exceeds one v5e's 16 GB
+        # at ANY batch (runs/driver_e2e_1b/oom_batch{8,4,2}.log) — this is the
+        # production-shaped config that DOES fit next to the towers
+        p_cfg = dataclasses.replace(
+            PaellaConfig.v1_byt5_xl(),
+            c_hidden=(512, 1024, 1024),
+            dtype="bfloat16",
+            remat=True,
+        )
+        vq_cfg = dataclasses.replace(VQConfig(), dtype="bfloat16")
     elif args.geometry == "1b":
         # the FLAGSHIP: the reference's production 1B config verbatim
         # (src_distributed/train.py:32,48 — c_hidden=[640,1280,1280],
@@ -374,8 +389,22 @@ def main():
     model = Paella(p_cfg)
     f = vq_cfg.downscale
     hw = args.image // f
-    params = init_params(model, jax.random.PRNGKey(0), latent_hw=(hw, hw))
-    print(f"denoiser params: {count_params(params)/1e6:.0f}M", flush=True)
+    # Only materialize init params on a FRESH run: on resume run_training
+    # restores through an abstract template, and a concrete init here would
+    # sit dead in HBM next to the restored state (OOMs the mid/1b geometries).
+    ckpt_dir = os.path.join(args.workdir, "checkpoints")
+    resuming = os.path.isdir(ckpt_dir) and any(
+        s.isdigit() for s in os.listdir(ckpt_dir)
+    )
+    if resuming:
+        params = None
+        n_abs = count_params(
+            jax.eval_shape(lambda: init_params(model, jax.random.PRNGKey(0), latent_hw=(hw, hw)))
+        )
+        print(f"denoiser params: {n_abs/1e6:.0f}M (resuming — init skipped)", flush=True)
+    else:
+        params = init_params(model, jax.random.PRNGKey(0), latent_hw=(hw, hw))
+        print(f"denoiser params: {count_params(params)/1e6:.0f}M", flush=True)
 
     t_cfg = TrainConfig(
         warmup_updates=100,

@@ -52,6 +52,49 @@ CAPTION_STYLES = (
 )
 
 
+def make_geometry(name: str):
+    """(PaellaConfig, VQConfig) for a named production-shaped geometry.
+
+    Shared with scripts/run_eval_e2e.py so eval restores checkpoints at the
+    exact geometry the driver trained them (reference production config:
+    src_distributed/train.py:32,48).
+    """
+    from paella_tpu.config import PaellaConfig, VQConfig
+
+    if name == "mid":
+        # flagship DEPTH (blocks 6/16/6) and head count at 80% width: the 1B
+        # config's training working set (f32 params + f32 grads + bf16 moments
+        # = 3x params) plus the 4.6 GB frozen towers exceeds one v5e's 16 GB
+        # at ANY batch (runs/driver_e2e_1b/oom_batch{8,4,2}.log) — this is the
+        # production-shaped config that DOES fit next to the towers
+        p_cfg = dataclasses.replace(
+            PaellaConfig.v1_byt5_xl(),
+            c_hidden=(512, 1024, 1024),
+            dtype="bfloat16",
+            remat=True,
+        )
+    elif name == "1b":
+        # the FLAGSHIP: the reference's production 1B config verbatim
+        # (src_distributed/train.py:32,48 — c_hidden=[640,1280,1280],
+        # blocks=[6,16,6], byt5_embd=2560)
+        p_cfg = dataclasses.replace(
+            PaellaConfig.v1_byt5_xl(), dtype="bfloat16", remat=True
+        )
+    else:
+        assert name == "small", name
+        # scripts/train_bench.py's "small" geometry: half width / half
+        # depth of the flagship, ByT5-XL conditioning widths
+        p_cfg = dataclasses.replace(
+            PaellaConfig.v1_byt5_xl(),
+            c_hidden=(320, 640, 640),
+            nhead=(-1, 8, 8),
+            blocks=(4, 12, 4),
+            dtype="bfloat16",
+            remat=True,
+        )
+    return p_cfg, dataclasses.replace(VQConfig(), dtype="bfloat16")
+
+
 def synth_image(rng: np.ndarray, size: int) -> np.ndarray:
     """Low-frequency random image: 8x8 color field upsampled to size — JPEG
     compresses it sanely and the codec/eval collage gets real structure."""
@@ -337,39 +380,8 @@ def main():
             PaellaConfig.tiny(), byt5_embd=32, clip_embd=24, dtype="bfloat16", remat=True
         )
         vq_cfg = VQConfig.tiny()
-    elif args.geometry == "mid":
-        # flagship DEPTH (blocks 6/16/6) and head count at 80% width: the 1B
-        # config's training working set (f32 params + f32 grads + bf16 moments
-        # = 3x params) plus the 4.6 GB frozen towers exceeds one v5e's 16 GB
-        # at ANY batch (runs/driver_e2e_1b/oom_batch{8,4,2}.log) — this is the
-        # production-shaped config that DOES fit next to the towers
-        p_cfg = dataclasses.replace(
-            PaellaConfig.v1_byt5_xl(),
-            c_hidden=(512, 1024, 1024),
-            dtype="bfloat16",
-            remat=True,
-        )
-        vq_cfg = dataclasses.replace(VQConfig(), dtype="bfloat16")
-    elif args.geometry == "1b":
-        # the FLAGSHIP: the reference's production 1B config verbatim
-        # (src_distributed/train.py:32,48 — c_hidden=[640,1280,1280],
-        # blocks=[6,16,6], byt5_embd=2560)
-        p_cfg = dataclasses.replace(
-            PaellaConfig.v1_byt5_xl(), dtype="bfloat16", remat=True
-        )
-        vq_cfg = dataclasses.replace(VQConfig(), dtype="bfloat16")
     else:
-        # scripts/train_bench.py's "small" ~280M geometry: half width / half
-        # depth of the flagship, ByT5-XL conditioning widths
-        p_cfg = dataclasses.replace(
-            PaellaConfig.v1_byt5_xl(),
-            c_hidden=(320, 640, 640),
-            nhead=(-1, 8, 8),
-            blocks=(4, 12, 4),
-            dtype="bfloat16",
-            remat=True,
-        )
-        vq_cfg = dataclasses.replace(VQConfig(), dtype="bfloat16")
+        p_cfg, vq_cfg = make_geometry(args.geometry)
 
     encode_batch, null, byt5_embd, clip_embd = build_encoders(args, jax, jnp)
     assert byt5_embd == p_cfg.byt5_embd and clip_embd == p_cfg.clip_embd, (

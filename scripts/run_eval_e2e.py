@@ -73,6 +73,12 @@ def main():
     ap.add_argument("--image", type=int, default=256)
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--byt5-bucket", type=int, default=64)
+    ap.add_argument("--geometry", default="small", choices=["small", "mid", "1b"],
+                    help="denoiser geometry of the workdir's checkpoints "
+                         "(run_driver_e2e.make_geometry)")
+    ap.add_argument("--adam-moments", default="f32", choices=["f32", "bf16"],
+                    help="Adam moment dtype the checkpoints were saved with "
+                         "(the restore template must match the saved tree)")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny geometry on CPU, synthetic denoiser (CI path)")
     ap.add_argument("--trend", action="store_true",
@@ -157,14 +163,7 @@ def main():
         )
         vq_cfg = VQConfig.tiny()
     else:
-        p_cfg = dataclasses.replace(
-            PaellaConfig.v1_byt5_xl(),
-            c_hidden=(320, 640, 640),
-            nhead=(-1, 8, 8),
-            blocks=(4, 12, 4),
-            dtype="bfloat16",
-        )
-        vq_cfg = dataclasses.replace(VQConfig(), dtype="bfloat16")
+        p_cfg, vq_cfg = drv.make_geometry(args.geometry)
     model = Paella(p_cfg)
     model_q = q_levels = None
     if args.w8a8:
@@ -224,7 +223,12 @@ def main():
         # denoiser) is built per restore and freed immediately — keeping it
         # resident next to the frozen towers OOMed the 16 GB chip
         template = create_train_state(
-            init, TrainConfig(warmup_updates=100, batch_size=args.batch)
+            init, TrainConfig(
+                warmup_updates=100, batch_size=args.batch,
+                adam_moment_dtype=(
+                    "bfloat16" if args.adam_moments == "bf16" else "float32"
+                ),
+            )
         )
         restored, _ = mgr.restore(template, step=step)
         del template

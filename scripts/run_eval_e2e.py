@@ -73,6 +73,11 @@ def main():
     ap.add_argument("--image", type=int, default=256)
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--byt5-bucket", type=int, default=64)
+    ap.add_argument("--byt5", default="w8a8", choices=["bf16", "int8", "w8a8"],
+                    help="frozen ByT5-XL mode (run_driver_e2e.build_encoders). "
+                         "Default w8a8: matches the mid driver run's training "
+                         "conditioning AND frees 2.6 GB HBM — the bf16 tower "
+                         "next to the 662M f32 init OOMed the 16 GB chip")
     ap.add_argument("--geometry", default="small", choices=["small", "mid", "1b"],
                     help="denoiser geometry of the workdir's checkpoints "
                          "(run_driver_e2e.make_geometry)")
@@ -204,7 +209,10 @@ def main():
         )
     hw = args.image // vq_cfg.downscale
 
-    init = init_params(model, jax.random.PRNGKey(0), latent_hw=(hw, hw))
+    # NOTE: `init` (f32, 2.6 GB at the mid geometry) is built AFTER the frozen
+    # towers are freed (below) — building it first OOMed the 16 GB chip next
+    # to the bf16 ByT5-XL during the conditioning precompute
+    init = None
 
     def _perturbed(tree, scale=0.02, seed=5):
         leaves, treedef = jax.tree_util.tree_flatten(tree)
@@ -219,16 +227,23 @@ def main():
         mgr = CheckpointManager(os.path.join(args.workdir, "checkpoints"))
 
     def restore_step(step=None):
-        # the train-state template (params + both Adam moments, ~3x the 209M
-        # denoiser) is built per restore and freed immediately — keeping it
-        # resident next to the frozen towers OOMed the 16 GB chip
-        template = create_train_state(
-            init, TrainConfig(
-                warmup_updates=100, batch_size=args.batch,
-                adam_moment_dtype=(
-                    "bfloat16" if args.adam_moments == "bf16" else "float32"
-                ),
-            )
+        # ABSTRACT restore template (jax.eval_shape + sharded ShapeDtypeStructs,
+        # mirroring train/driver.py's resume path): a concrete template would
+        # hold a second full train state (params + both Adam moments, ~2x
+        # params bytes) in HBM during restore — at the 662M mid geometry that
+        # OOMed the 16 GB v5e next to `init` and the conditioning arrays
+        from jax.sharding import SingleDeviceSharding
+
+        t_cfg = TrainConfig(
+            warmup_updates=100, batch_size=args.batch,
+            adam_moment_dtype=(
+                "bfloat16" if args.adam_moments == "bf16" else "float32"
+            ),
+        )
+        abstract = jax.eval_shape(lambda: create_train_state(init, t_cfg))
+        sh = SingleDeviceSharding(dev)
+        template = jax.tree_util.tree_map(
+            lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh), abstract
         )
         restored, _ = mgr.restore(template, step=step)
         del template
@@ -242,7 +257,7 @@ def main():
         return p, s
 
     # --- frozen conditioning encoders (identical build to the driver run) -
-    enc_args = types.SimpleNamespace(smoke=args.smoke, byt5="bf16", byt5_bucket=args.byt5_bucket)
+    enc_args = types.SimpleNamespace(smoke=args.smoke, byt5=args.byt5, byt5_bucket=args.byt5_bucket)
     encode_batch, null, byt5_embd, clip_embd = drv.build_encoders(enc_args, jax, jnp)
     encode_text = encode_batch.encode_text
     assert byt5_embd == p_cfg.byt5_embd and clip_embd == p_cfg.clip_embd
@@ -277,6 +292,11 @@ def main():
         byt5, mask, clip_vec = encode_text(prompts[i * b : (i + 1) * b])
         conds.append(Conditioning(byt5=byt5, byt5_mask=mask, clip=clip_vec))
     del encode_batch, encode_text
+    import gc
+
+    gc.collect()  # the tunnel backend defers frees; drop tower refs eagerly
+
+    init = init_params(model, jax.random.PRNGKey(0), latent_hw=(hw, hw))
 
     # --- real set: stream from the run's own tar shards -------------------
     shard_dir = os.path.join(args.workdir, "shards")
@@ -394,16 +414,18 @@ def main():
         t0 = time.time()
         feats, hist = token_stats(tok_batches)
         t_feat[0] += time.time() - t0
-        return feats, hist, args.n / t_sample
+        return feats, hist, args.n / t_sample, np.concatenate(tok_batches, 0)
 
     arm_hists = {}
+    arm_tokens = {}  # raw token grids (n x H x W int32, ~4 MB/arm) for twin flip rate
 
     def eval_arm(params, m=None, label=None):
         """Returns (metric fields, sampling rate, headline Frechet value)."""
         if token_space:
-            feats, hist, rate = gen_token_stats(params, m)
+            feats, hist, rate, toks = gen_token_stats(params, m)
             if label is not None:
                 arm_hists[label] = hist
+                arm_tokens[label] = toks
             fr = float(fid_from_features(real_feats, feats))
             return {"token_frechet": round(fr, 4),
                     "token_js_to_real": round(js_div(hist, real_hist), 4)}, rate, fr
@@ -440,7 +462,12 @@ def main():
                 qvals, qrate, _ = eval_arm(_quantize(params), model_q, qlabel)
                 if token_space and label in arm_hists:
                     qvals["token_js_to_bf16_twin"] = round(
-                        js_div(arm_hists[qlabel], arm_hists[label]), 4)
+                        js_div(arm_hists[qlabel], arm_hists[label]), 6)
+                    # raw per-position disagreement between the twins (same
+                    # seeds): distinguishes "tiny distributional drift" from
+                    # "the quantized program never diverged at all"
+                    qvals["token_flip_to_bf16_twin"] = round(float(
+                        (arm_tokens[qlabel] != arm_tokens[label]).mean()), 6)
                 arms.append({
                     "arm": qlabel, "denoiser_step": s, **qvals,
                     "sampling_images_per_sec": round(qrate, 2),
@@ -475,6 +502,8 @@ def main():
                         "quantized, act_quant=True sampling, same seeds",
             }
             path = path.replace(".json", "_w8a8.json")
+        if args.codec:
+            path = path.replace(".json", "_trainedcodec.json")
         out.update({
             "device": str(dev),
             "codec": args.codec or "random-init",

@@ -103,3 +103,7 @@ def test_eval_e2e_token_space_smoke(tmp_path):
             # (guarded by the identity check above — a failure HERE means
             # act_quant/fused_blocks changed the traced graph itself)
             assert a["token_js_to_bf16_twin"] == 0.0
+            # same reasoning: identical program + same seeds => zero raw
+            # per-position disagreement (on real geometry this field carries
+            # the full-loop W8A8 flip rate)
+            assert a["token_flip_to_bf16_twin"] == 0.0

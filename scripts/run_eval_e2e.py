@@ -72,6 +72,11 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--image", type=int, default=256)
     ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--cfg", default="8,8",
+                    help="CFG schedule 'start,end' (production default 8,8; "
+                         "'0,0' disables CFG — on an undertrained denoiser "
+                         "whose uncond arm saw only the 5%% cond-dropout "
+                         "batches, heavy CFG amplifies garbage)")
     ap.add_argument("--byt5-bucket", type=int, default=64)
     ap.add_argument("--byt5", default="w8a8", choices=["bf16", "int8", "w8a8"],
                     help="frozen ByT5-XL mode (run_driver_e2e.build_encoders). "
@@ -278,7 +283,10 @@ def main():
         clip=jnp.tile(null.clip, (b, 1)),
     )
 
-    s_cfg = SampleConfig(steps=args.steps)
+    cfg_sched = tuple(float(v) for v in args.cfg.split(","))
+    assert len(cfg_sched) == 2, "--cfg wants 'start,end'"
+    s_cfg = SampleConfig(steps=args.steps,
+                         cfg=None if cfg_sched == (0.0, 0.0) else cfg_sched)
     decode = jax.jit(lambda v, t: jnp.clip(
         vq.apply(v, t, method=VQModel.decode_indices), 0.0, 1.0
     ))
@@ -510,6 +518,7 @@ def main():
             "n_per_set": args.n,
             "image": args.image,
             "sampler_steps": args.steps,
+            "cfg": args.cfg,
             "arms": arms,
             "monotone_improving": bool(
                 all(a > c for a, c in zip(frechets, frechets[1:]))),
@@ -546,6 +555,7 @@ def main():
             "n_per_set": args.n,
             "image": args.image,
             "sampler_steps": args.steps,
+            "cfg": args.cfg,
             **vals,
             "sampling_images_per_sec": round(gen_rate, 2),
             "featurize_wall_s": round(t_feat[0], 1),

@@ -1,6 +1,7 @@
 """Codec (VQGAN) pretraining step: losses finite, recon improves, discriminator
 spectral-norm state updates."""
 import jax
+import pytest
 import numpy as np
 
 from paella_tpu.codec import Discriminator, VQModel
@@ -12,6 +13,7 @@ from paella_tpu.codec.trainer import (
 from paella_tpu.config import VQConfig
 
 
+@pytest.mark.slow
 def test_codec_train_step_improves_recon():
     vq = VQModel(VQConfig.tiny())
     disc = Discriminator(c_hidden=32, depth=4)
@@ -59,6 +61,7 @@ def test_dead_code_revival_resurrects_unused_codes():
     assert np.isfinite(cb).all()
 
 
+@pytest.mark.slow
 def test_revival_off_keeps_codebook_shape_semantics():
     vq = VQModel(VQConfig.tiny())
     disc = Discriminator(c_hidden=32, depth=4)

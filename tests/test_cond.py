@@ -2,6 +2,7 @@
 HF torch models instantiated locally from configs (no downloads), plus the byte
 tokenizer."""
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 import torch
@@ -42,6 +43,7 @@ def test_byt5_truncation():
     assert len(ids) == 10 and ids[-1] == 1
 
 
+@pytest.mark.slow
 def test_t5_encoder_matches_hf():
     from transformers import T5Config as HFT5Config, T5EncoderModel
 

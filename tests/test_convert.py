@@ -2,6 +2,7 @@
 values) must convert into exactly the param tree our models initialize — same paths,
 same shapes — and the converted VQGAN must run."""
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -113,6 +114,7 @@ def test_paella_converter_produces_init_structure():
     assert logits.shape == (1, 16, 16, P_CFG.num_labels)
 
 
+@pytest.mark.slow
 def test_paella_converter_full_geometry():
     """Production-geometry coverage (VERDICT r1 #9): synthesize the COMPLETE 1B
     key set (v1_byt5_xl: c_hidden 640/1280/1280, blocks 6/16/6, the config the

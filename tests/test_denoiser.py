@@ -135,6 +135,7 @@ def test_param_count_full_config_is_reference_scale():
     assert 0.9e9 < n < 1.1e9, f"param count {n/1e6:.1f}M out of expected range"
 
 
+@pytest.mark.slow
 def test_remat_matches_non_remat():
     """remat=True must be numerically identical (it only changes what's stored
     for backward)."""

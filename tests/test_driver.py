@@ -18,6 +18,7 @@ P_CFG = PaellaConfig.tiny()
 V_CFG = VQConfig.tiny()
 
 
+@pytest.mark.slow
 def test_driver_runs_and_resumes(tmp_path):
     model = Paella(P_CFG)
     vq = VQModel(V_CFG)
@@ -55,6 +56,7 @@ def test_driver_runs_and_resumes(tmp_path):
     assert os.path.isdir(tmp_path / "run" / "checkpoints" / "5")
 
 
+@pytest.mark.slow
 def test_encode_prefetch_parity(tmp_path):
     """DriverConfig.encode_prefetch only changes WHEN the host work happens
     (producer thread overlapping the step), never the math: the same data +
@@ -88,6 +90,7 @@ def test_encode_prefetch_parity(tmp_path):
     assert losses[0] == losses[1]
 
 
+@pytest.mark.slow
 def test_eval_grid_collage(tmp_path):
     """The eval collage has the reference's five rows (orig / noised /
     argmax-reconstruction / sampled-with-image-cond / sampled-without,

@@ -5,6 +5,7 @@ numerics. Regenerate deliberately with:  python tests/test_goldens.py
 import os
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -57,6 +58,7 @@ def compute_outputs():
     }
 
 
+@pytest.mark.slow
 def test_outputs_match_goldens():
     assert os.path.exists(GOLDEN), "goldens missing — run: python tests/test_goldens.py"
     got = compute_outputs()

@@ -58,6 +58,7 @@ def test_default_split_levels():
     assert default_split_levels(PaellaConfig.tiny()) == ()  # not tile-aligned
 
 
+@pytest.mark.slow
 def test_split_layout_matches_standard(params):
     x, r, byt5, clip = make_inputs()
     sparams = split_skip_params(params, BASE)
@@ -70,6 +71,7 @@ def test_split_layout_matches_standard(params):
     np.testing.assert_allclose(g, w, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_split_layout_with_cond_cache(params):
     """The sampler path: gen_cond_cache hoists kv projections from the
     permuted kv_mapper weights — must match the uncached split forward."""
@@ -87,6 +89,7 @@ def test_split_layout_with_cond_cache(params):
     )
 
 
+@pytest.mark.slow
 def test_split_layout_with_w8a8(params):
     """The layout composes with int8 quantization (kernel_scale columns must
     permute with their fc2 kernels)."""

@@ -67,6 +67,7 @@ def _setup(mesh):
     return state, step, vq_vars, batch, null
 
 
+@pytest.mark.slow
 def test_data_parallel_train_step():
     mesh = make_mesh()  # dp=8
     state, step, vq_vars, batch, null = _setup(mesh)
@@ -79,6 +80,7 @@ def test_data_parallel_train_step():
     assert int(new_state.step) == 1
 
 
+@pytest.mark.slow
 def test_fsdp_train_step_matches_replicated():
     """dp+fsdp sharded step must produce the same loss as the single-device step
     (GSPMD is a partitioning of the SAME program)."""
@@ -121,6 +123,7 @@ def test_tp_param_specs():
     assert tp_param_spec("x/fc1/kernel", jnp.zeros((32, 33)), 2) is None
 
 
+@pytest.mark.slow
 def test_tp_train_step_matches_replicated():
     """dp x fsdp x tp sharded step must produce the same loss as unsharded."""
     mesh = make_mesh(dp=2, fsdp=2, tp=2)

@@ -95,6 +95,7 @@ def test_best_of_rerank(pipe):
     np.testing.assert_array_equal(np.asarray(img), cand[np.arange(2), best])
 
 
+@pytest.mark.slow
 def test_inpaint_and_outpaint(pipe):
     base = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
     keep = jnp.zeros((1, 16, 16), bool).at[:, :, :8].set(True)

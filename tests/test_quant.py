@@ -6,6 +6,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from paella_tpu.config import PaellaConfig
 from paella_tpu.quant import (
@@ -100,6 +101,7 @@ def test_fused_kernel_w8a8_close_to_float():
         np.testing.assert_allclose(np.asarray(got_bg), g, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_quantized_model_close_to_float():
     from jax.experimental.pallas import tpu as pltpu
 

@@ -116,6 +116,7 @@ def test_fused_resblock_single_tile():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_fused_blocks_model_parity():
     """fused_blocks=True must (a) produce an IDENTICAL param tree and (b) match
     the XLA forward numerically — at a 128-channel config that passes the

@@ -93,6 +93,7 @@ def test_train_step_decreases_loss(setup):
     assert float(m["grad_norm"]) > 0
 
 
+@pytest.mark.slow
 def test_grad_accum_matches_full_batch(setup):
     """Accumulated microbatch gradients must equal the full-batch gradient when
     per-microbatch randomness is held fixed by the same data."""
@@ -219,6 +220,7 @@ class TestAdamMomentDtype:
         assert np.isfinite(float(m["loss"]))
 
 
+@pytest.mark.slow
 def test_remat_levels_same_loss_and_grads(setup):
     """remat/remat_levels are pure efficiency knobs: identical loss + metrics."""
     import dataclasses
@@ -251,6 +253,7 @@ def test_remat_levels_same_loss_and_grads(setup):
         ), name
 
 
+@pytest.mark.slow
 def test_nonfinite_grads_skip_update(setup):
     """GradScaler-parity guard: a batch producing non-finite gradients leaves
     params AND optimizer moments untouched (metrics count the skip); the next

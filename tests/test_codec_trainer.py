@@ -33,6 +33,7 @@ def test_codec_train_step_improves_recon():
     assert 0.0 <= float(metrics["d_real"]) <= 1.0
 
 
+@pytest.mark.slow
 def test_dead_code_revival_resurrects_unused_codes():
     """Codes unused for `revive_after` steps are re-seeded to batch latents
     (and the codebook is exempt from AdamW decay, so live codes keep scale).

@@ -87,6 +87,7 @@ def test_t5_encoder_matches_hf():
     )
 
 
+@pytest.mark.slow
 def test_clip_text_matches_hf():
     from transformers import CLIPTextConfig as HFCfg, CLIPTextModelWithProjection
 

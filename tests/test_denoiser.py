@@ -52,6 +52,7 @@ def test_zero_init_layers(model_and_params):
         assert float(jnp.abs(kern).max()) == 0.0
 
 
+@pytest.mark.slow
 def test_masked_clip_image_equals_absent(model_and_params):
     """A zeroed clip_image with mask=False must produce the same logits as
     clip_image=None — the property that lets CFG run cond+uncond in one batch."""

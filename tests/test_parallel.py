@@ -139,6 +139,7 @@ def test_tp_train_step_matches_replicated():
     np.testing.assert_allclose(float(m_sh["loss"]), float(m_ref["loss"]), rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_tp_inference_matches_replicated():
     """Tensor-parallel inference: tp-sharded params reproduce the replicated
     denoiser forward (GSPMD partitions the same program; XLA inserts the

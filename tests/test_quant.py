@@ -173,6 +173,7 @@ def test_int8_requires_fused_path():
         )
 
 
+@pytest.mark.slow
 def test_w8a8_quality_proxy():
     """The in-repo W8A8 go/no-go proxy (examples/eval_quality.py --w8a8-proxy)
     must produce finite per-t KL/flip rows and a verdict; on a near-identity
@@ -280,6 +281,7 @@ def test_t5_w8a8_close_to_float():
     assert cos.min() > 0.99, cos.min()
 
 
+@pytest.mark.slow
 def test_t5_w8a8_downstream_proxy():
     """t5_w8a8_quality_proxy: the ByT5 act_quant go/no-go rows are finite and
     sane, the verdict applies the documented thresholds, and mismatched

@@ -204,6 +204,7 @@ class TestAdamMomentDtype:
         for a, b in zip(jax.tree_util.tree_leaves(p16), jax.tree_util.tree_leaves(p32)):
             np.testing.assert_allclose(a, b, rtol=0, atol=2e-5)
 
+    @pytest.mark.slow
     def test_train_step_runs_with_bf16_moments(self, setup):
         model, params, vq, vq_vars = setup
         cfg = TrainConfig(warmup_updates=2, adam_moment_dtype="bfloat16")
